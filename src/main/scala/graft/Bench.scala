@@ -1,24 +1,133 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.algo.{ConnectedComponents, PLP, PageRank, Triangles}
+import graft.core.GraphOps
+import graft.ingest.PageGen
+
+/** Driver-run benchmark: one JSON line with per-query seconds.
+  *
+  * Headline is the north-rule metric — PageRank edges/sec/iteration at tol
+  * 1e-6 on the seed-42 synthetic power-law link graph (BASELINE.md
+  * protocol) — plus CC / PLP / triangle jobs on the same graph and a slice
+  * of the relational operator surface on the driver's sf tables.
+  */
 object Bench {
+
+  /** Synthetic bench graph size (nodes); edges ≈ 5–6× nodes with power-law
+    * out-degree and hub-skewed in-degree.
+    */
+  private val benchNodes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_NODES", "2000000").toLong
+
+  def buildSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.maxPlanStringLength", "65536")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = buildSession(cpus)
+
+    val edges = PageGen.edges(spark, benchNodes, seed = 42,
+        numPartitions = cpus.toInt * 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = edges.count()
+    val nodes = GraphOps.nodes(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+
+    var prIters = 0
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    results("pagerank") = time {
+      val r = PageRank.run(spark, edges, nodes,
+        PageRank.Config(tol = 1e-6, maxIter = 100))
+      prIters = r.iterations
+      r.scores.agg(sum("score")).head()
+    }
+    results("connected_components") = time {
+      ConnectedComponents.run(spark, edges).agg(max("component")).head()
+    }
+    results("plp") = time {
+      PLP.run(spark, edges, cfg = PLP.Config(maxIter = 8)).labels
+        .agg(countDistinct("label")).head()
+    }
+    results("triangles") = time {
+      Triangles.globalCount(spark, edges)
+    }
+    // relational surface on driver tables
+    for (q <- Seq("tri_per_edge", "pr20", "dedup_minhash_pairs", "emb_topk",
+        "txt_quality", "events_sessions", "cc_components")) {
+      results(q) = time { EntryQueries.queries(q)(spark, sfDir).count() }
+    }
+
+    val prEps = if (results("pagerank") > 0 && prIters > 0)
+      m.toDouble * prIters / results("pagerank") else 0.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_nodes":$benchNodes,"bench_edges":$m,"pagerank_iters":$prIters,"pagerank_eps_per_iter":$prEps,"cpus":$cpus}""")
     spark.stop()
+  }
+}
+
+/** Scaling evidence for the north rule's two-cluster-size criterion: the
+  * same PageRank job at local[8] (N) and local[32] (4N) on the same input;
+  * reports throughput at both and efficiency = (t8/t32)/4. ≥3 reps per
+  * level, first discarded (warmup), median reported (BASELINE.md protocol).
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val levels = Seq("8", "32")
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Int, Long)]
+    for (cpus <- levels) {
+      val spark = Bench.buildSession(cpus)
+      val edges = PageGen.edges(spark, n, seed = 42,
+          numPartitions = cpus.toInt * 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = edges.count()
+      val nodes = graft.core.GraphOps.nodes(edges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nodes.count()
+      var iters = 0
+      val times = (0 until (reps + 1)).map { _ =>
+        val t0 = System.nanoTime()
+        val r = PageRank.run(spark, edges, nodes,
+          PageRank.Config(tol = 1e-6, maxIter = 100))
+        iters = r.iterations
+        r.scores.agg(sum("score")).head()
+        (System.nanoTime() - t0) / 1e9
+      }.drop(1).sorted // discard warmup run
+      val median = times(times.length / 2)
+      out(cpus) = (median, iters, m)
+      System.err.println(s"local[$cpus]: median=${median}s iters=$iters m=$m times=$times")
+      spark.stop()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+    }
+    val (t8, it8, m8) = out("8")
+    val (t32, _, _) = out("32")
+    val eps8 = m8.toDouble * it8 / t8
+    val eps32 = m8.toDouble * it8 / t32
+    val eff = (t8 / t32) / 4.0
+    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","pagerank_eps_per_iter_local8":$eps8,"pagerank_eps_per_iter_local32":$eps32,"sec_local8":$t8,"sec_local32":$t32,"iters":$it8,"edges":$m8,"nodes":$n}""")
   }
 }

@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The operator surface lives in [[EntryQueries]]; this object is the thin
+  * stable facade the driver calls.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query (SURVEY.md §7.2 end-to-end slice): synthesize a
+    * 2000-page crawl (seed 42), extract text + hyperlinks, build the link
+    * graph, run PageRank to 1e-6, return the top-20 ranking joined back to
+    * urls. Exercises ingest → canonical edge table → iteration driver →
+    * centrality output in one plan.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.maxPlanStringLength", "65536")
+    val pages = ingest.PageGen.pages(spark, 2000, seed = 42).toDF()
+    val (nodes, edges) = ingest.LinkGraph.build(spark, pages)
+    val pr = algo.PageRank.run(spark, edges, nodes.select("id"),
+      algo.PageRank.Config(tol = 1e-6, maxIter = 100))
+    algo.Centrality.ranking(pr.scores, k = 20)
+      .join(nodes.select(col("id"), col("url")), "id")
+      .select(col("id"), col("url"), col("score"))
+      .orderBy(desc("score"), asc("id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EntryQueries.queries
+
+  /** DuckDB-runnable oracle SQL per query (omitted → rows-only check). */
+  def oracleSql: Map[String, String] = EntryQueries.oracleSql
 }

@@ -1,0 +1,113 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.GraphOps
+import graft.iterate.{IterConfig, IterationDriver}
+
+/** Shortest-path operators (SURVEY.md §2.8): distributed frontier BFS and
+  * Bellman-Ford-style weighted SSSP — the Spark counterparts of the
+  * reference's `graph/BFS.cpp` / `Dijkstra.cpp` (priority queues don't
+  * distribute; iterative relaxation does).
+  */
+object SSSP {
+
+  /** Multi-source BFS: `sources(id)` → `(source, id, dist)` hop counts for
+    * all reachable nodes. One frontier join per level; all sources advance
+    * in the same jobs (batching amortizes per-iteration overhead — this is
+    * how APSP/diameter-ish workloads should run on Spark, not n separate
+    * BFS jobs).
+    */
+  def bfs(spark: SparkSession, edges: DataFrame, sources: DataFrame,
+          directed: Boolean = false, maxDepth: Int = 1000): DataFrame = {
+    val adj0 = if (directed) edges else GraphOps.symmetrize(edges)
+    val adj = adj0.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+
+    // state: (source, id, dist, frontier)
+    val init = sources.select(col("id").as("source"), col("id"),
+      lit(0L).as("dist"), lit(true).as("frontier"))
+
+    def step(state: DataFrame, iter: Int): DataFrame = {
+      val frontier = state.where(col("frontier"))
+        .select(col("source"), col("id").as("src"), col("dist"))
+      val expanded = adj.join(frontier, "src")
+        .select(col("source"), col("dst").as("id"), (col("dist") + 1).as("dist"))
+        .groupBy("source", "id").agg(min("dist").as("dist"))
+      val newNodes = expanded.join(
+        state.select(col("source"), col("id")), Seq("source", "id"), "left_anti")
+      state.select("source", "id", "dist").withColumn("frontier", lit(false))
+        .unionByName(newNodes.withColumn("frontier", lit(true)))
+    }
+
+    def frontierSize(prev: DataFrame, next: DataFrame): Double =
+      next.where(col("frontier")).count().toDouble
+
+    val res = IterationDriver.run(spark, init, step, frontierSize,
+      IterConfig(tol = 0.0, maxIter = maxDepth))
+    adj.unpersist()
+    res.state.select("source", "id", "dist")
+  }
+
+  /** Weighted SSSP via iterative relaxation (Bellman-Ford / the hash-min
+    * family): dist'[v] = min(dist[v], min over in-edges dist[u]+w).
+    * Converges in ≤ diameter iterations on non-negative weights.
+    */
+  def weighted(spark: SparkSession, edges: DataFrame, source: Long,
+               directed: Boolean = false, maxIter: Int = 1000): DataFrame = {
+    val adj0 = if (directed) edges else GraphOps.symmetrize(edges)
+    val adj = adj0.persist(StorageLevel.MEMORY_AND_DISK)
+
+    val init = GraphOps.nodes(adj)
+      .select(col("id"),
+        when(col("id") === source, 0.0).otherwise(Double.PositiveInfinity).as("dist"),
+        (col("id") === source).as("changed"))
+
+    def step(state: DataFrame, iter: Int): DataFrame = {
+      val frontier = state.where(col("changed"))
+        .select(col("id").as("src"), col("dist"))
+      val relax = adj.join(frontier, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("dist") + col("weight")).as("prop"))
+      state.select("id", "dist").join(relax, Seq("id"), "left")
+        .select(col("id"),
+          least(col("dist"), coalesce(col("prop"), col("dist"))).as("dist"),
+          (col("prop").isNotNull && col("prop") < col("dist")).as("changed"))
+    }
+
+    def changed(prev: DataFrame, next: DataFrame): Double =
+      next.where(col("changed")).count().toDouble
+
+    val res = IterationDriver.run(spark, init, step, changed,
+      IterConfig(tol = 0.0, maxIter = maxIter))
+    adj.unpersist()
+    res.state.where(!col("dist").isNaN && col("dist") =!= Double.PositiveInfinity)
+      .select("id", "dist")
+  }
+
+  /** Eccentricity of the given sources (max BFS distance), and from it the
+    * exact diameter when `sources` = all nodes (`distance/Diameter.cpp`
+    * exact path — at scale use a sampled source set).
+    */
+  def eccentricity(spark: SparkSession, edges: DataFrame,
+                   sources: DataFrame): DataFrame =
+    bfs(spark, edges, sources)
+      .groupBy(col("source").as("id")).agg(max("dist").as("eccentricity"))
+}
+
+/** Graph contraction by partition (`coarsening/ParallelPartitionCoarsening
+  * .cpp:20-70`): supernode per community; parallel edges merge by weight
+  * sum; intra-community edges become self-loops. Pure relational — the
+  * exact op PLM/PLP-style multilevel algorithms share.
+  */
+object Coarsening {
+  def byPartition(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.withColumnRenamed("id", "src")
+        .withColumnRenamed("label", "csrc"), "src")
+      .join(labels.withColumnRenamed("id", "dst")
+        .withColumnRenamed("label", "cdst"), "dst")
+      .select(least(col("csrc"), col("cdst")).as("src"),
+        greatest(col("csrc"), col("cdst")).as("dst"), col("weight"))
+      .groupBy("src", "dst").agg(sum("weight").as("weight"))
+}

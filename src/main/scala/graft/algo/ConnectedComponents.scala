@@ -1,0 +1,113 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.{DenseId, GraphOps}
+import graft.iterate.{IterConfig, IterationDriver}
+
+/** Connected components via iterative min-label propagation ("hash-min"),
+  * the Spark-native counterpart of the reference's
+  * `ParallelConnectedComponents` (`components/ParallelConnectedComponents
+  * .cpp:20-95`): labels start as node ids (`allToSingletons`, :29-30), each
+  * sweep takes `component[u] = min(component[u], min over neighbors)`
+  * (:55-77), and only neighbors of changed nodes are re-examined next sweep
+  * (the active-set trick, :67-74). After `coarsenAfter` sweeps without
+  * convergence the label graph is contracted and the algorithm recurses
+  * (:81-94) — the reference's own remedy for long label-propagation chains,
+  * which ports directly: contraction is a `join+distinct`, and the
+  * contracted graph is orders of magnitude smaller.
+  *
+  * Component numbering matches the reference's sequential
+  * `ConnectedComponents` (`components/ConnectedComponents.cpp:16-55`):
+  * BFS-discovery order by ascending seed id ≡ dense renumbering of
+  * components by their minimum node id (SURVEY.md §2.5).
+  *
+  * Scale shape: per sweep, one join (frontier × edges) + one min-aggregation
+  * + one left join back; the frontier shrinks geometrically on web-ish
+  * graphs, so late sweeps touch a tiny fraction of the edge table.
+  */
+object ConnectedComponents {
+
+  final case class Config(
+      maxIter: Int = 100,
+      coarsenAfter: Int = 8,
+      checkpointDir: Option[String] = None)
+
+  /** Min-label fixpoint: returns `(id, label)` with label = min node id of
+    * the component. `sym` must be the symmetrized edge view.
+    */
+  private def hashMin(spark: SparkSession, sym: DataFrame, nodes: DataFrame,
+                      cfg: Config, depth: Int): DataFrame = {
+    val init = nodes.select(col("id"), col("id").as("label"),
+      lit(true).as("changed"))
+
+    def step(state: DataFrame, iter: Int): DataFrame = {
+      val frontier = state.where(col("changed"))
+        .select(col("id").as("src"), col("label"))
+      val proposals = sym.join(frontier, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("label").as("prop"))
+      state.select("id", "label").join(proposals, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("prop"), col("label"))).as("label"),
+          (col("prop").isNotNull && col("prop") < col("label")).as("changed"))
+    }
+
+    def changedCount(prev: DataFrame, next: DataFrame): Double =
+      next.where(col("changed")).count().toDouble
+
+    val maxThisLevel = if (depth == 0) cfg.coarsenAfter else cfg.maxIter
+    val res = IterationDriver.run(spark, init, step, changedCount,
+      IterConfig(tol = 0.0, maxIter = maxThisLevel,
+        checkpointDir = cfg.checkpointDir.map(d => s"$d/level=$depth")))
+
+    val labels = res.state.select("id", "label")
+    val converged = res.history.lastOption.forall(_.metric == 0.0)
+    if (converged || depth > 0) labels
+    else {
+      // contract: vertices = current labels, edges = distinct label pairs
+      val l = labels.persist(StorageLevel.MEMORY_AND_DISK)
+      val contracted = sym
+        .join(l.withColumnRenamed("id", "src").withColumnRenamed("label", "lsrc"), "src")
+        .join(l.withColumnRenamed("id", "dst").withColumnRenamed("label", "ldst"), "dst")
+        .select(col("lsrc").as("src"), col("ldst").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .withColumn("weight", lit(1.0))
+      val cNodes = l.select(col("label").as("id")).distinct()
+      val cLabels = hashMin(spark, GraphOps.symmetrize(contracted), cNodes,
+        cfg, depth + 1)
+      // prolong coarse labels back to fine nodes
+      val out = l.join(cLabels.select(col("id").as("label"),
+          col("label").as("clabel")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("clabel"), col("label")).as("label"))
+      l.unpersist()
+      out
+    }
+  }
+
+  /** Full run: `(id, component)` with components densely numbered `0..k-1`
+    * in ascending-min-node-id order (exact match with the reference
+    * sequential BFS numbering).
+    */
+  def run(spark: SparkSession, edges: DataFrame,
+          cfg: Config = Config()): DataFrame = {
+    val sym = GraphOps.symmetrize(edges.where(col("src") =!= col("dst")))
+      .select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = GraphOps.nodes(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val labels = hashMin(spark, sym, nodes, cfg, 0)
+    // dense renumber by ascending min-id (= BFS discovery order)
+    val comps = labels.select(col("label")).distinct()
+    val numbered = DenseId.assign(comps, "component", Seq("label"))
+    val out = labels.join(numbered, Seq("label"))
+      .select(col("id"), col("component"))
+    sym.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** Number of components (reference `numberOfComponents`). */
+  def count(spark: SparkSession, edges: DataFrame): Long =
+    run(spark, edges).select("component").distinct().count()
+}

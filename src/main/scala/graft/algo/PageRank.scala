@@ -1,0 +1,99 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.GraphOps
+import graft.iterate.{IterConfig, IterationDriver, IterResult}
+
+/** PageRank — power iteration with damping, matching the reference's exact
+  * semantics (`networkit/cpp/centrality/PageRank.cpp:20-71`):
+  *
+  *  - init: score[u] = 1/n for every node (`:23-27`)
+  *  - per iteration: `pr[u] = d · Σ_{(v,u)∈E_in} score[v]·w(v,u)/wdegOut(v)
+  *    + (1−d)/n` — **no dangling-mass redistribution**: mass flowing out of
+  *    sink nodes leaks, exactly like the reference (`:37-47`)
+  *  - stop when the **L2 norm** of the score delta ≤ tol (`:48-57`)
+  *  - after convergence, **one** L1 normalization `score /= Σ score`
+  *    (`:60-68`)
+  *
+  * Defaults damp=0.85; tol defaults to 1e-9 like the Python binding
+  * (`_NetworKit.pyx:5877`; the C++ default is 1e-8, `PageRank.h:35`).
+  * For an undirected graph pass the symmetrized edge view — in-edges are
+  * then all neighbors, as in the reference.
+  *
+  * Scale shape: the per-iteration dataflow is one join + one aggregation.
+  * The `shares` table (edges with weight pre-divided by the source's
+  * weighted out-degree) is computed once, hash-partitioned by `src`, and
+  * persisted — per iteration only the (small) rank vector shuffles to meet
+  * it, and the `groupBy(dst)` runs with map-side partial aggregation, which
+  * bounds reduce-side rows per hub to the partition count (hub skew is
+  * absorbed before the exchange; residual skew is handled by AQE).
+  */
+object PageRank {
+
+  final case class Config(
+      damping: Double = 0.85,
+      tol: Double = 1e-9,
+      maxIter: Int = 500,
+      checkpointDir: Option[String] = None,
+      shufflePartitions: Int = 0)
+
+  final case class Result(scores: DataFrame, iterations: Int,
+                          history: Vector[graft.iterate.IterRecord])
+
+  /** @param edges directed edge table `(src, dst, weight)`; symmetrize first
+    *              for undirected semantics.
+    * @param nodes node universe `(id)`; pass `GraphOps.nodes(edges)` if the
+    *              graph has no isolated nodes.
+    * @return scores `(id, score)`, L1-normalized.
+    */
+  def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+          cfg: Config = Config()): Result = {
+    val parts =
+      if (cfg.shufflePartitions > 0) cfg.shufflePartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val n = nodes.count()
+    val teleport = (1.0 - cfg.damping) / n
+
+    // out-strength; nodes absent here are dangling — their mass leaks.
+    val outW = edges.groupBy("src").agg(sum("weight").as("wout"))
+    // normalized transition shares, partitioned by src once so each
+    // iteration's join shuffles only the rank vector.
+    val shares = edges.join(outW, "src")
+      .select(col("src"), col("dst"), (col("weight") / col("wout")).as("share"))
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    shares.count() // materialize before the loop
+
+    val nodesP = nodes.repartition(parts, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val init = nodesP.select(col("id"), lit(1.0 / n).as("score"))
+
+    def step(state: DataFrame, iter: Int): DataFrame = {
+      val contribs = shares
+        .join(state.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("share") * col("score")).as("mass"))
+      nodesP.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(cfg.damping) * coalesce(col("mass"), lit(0.0)) + lit(teleport))
+            .as("score"))
+    }
+
+    def l2diff(prev: DataFrame, next: DataFrame): Double =
+      math.sqrt(prev.withColumnRenamed("score", "p")
+        .join(next, "id")
+        .agg(sum(pow(col("score") - col("p"), 2)).as("s"))
+        .head().getDouble(0))
+
+    val res: IterResult = IterationDriver.run(spark, init, step, l2diff,
+      IterConfig(cfg.tol, cfg.maxIter, cfg.checkpointDir))
+
+    val l1 = res.state.agg(sum(abs(col("score")))).head().getDouble(0)
+    val scores = res.state.select(col("id"), (col("score") / l1).as("score"))
+    Result(scores, res.iterations, res.history)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable deterministic dense-id assignment (0..n-1) over a global sort
+  * order — the Spark-native replacement for the reference readers'
+  * first-appearance id remap (`io/SNAPGraphReader.cpp:29-45`,
+  * `io/EdgeListReader.h:59-64`).
+  *
+  * A single global `row_number()` window would funnel all rows through one
+  * partition — non-starter at 10^12 rows. Instead the classic two-phase
+  * scheme, expressed entirely in DataFrame ops:
+  *   1. range-partition by the sort key (`repartitionByRange`) — Spark
+  *      samples split points, so partitions are contiguous key ranges;
+  *   2. per-partition `row_number()` windowed by `spark_partition_id()`
+  *      (parallel — each partition sorts locally);
+  *   3. tiny `(pid → count)` aggregate joined back (broadcast) to add the
+  *      cumulative offset of all preceding partitions.
+  * Only the P-row offset table is driver-side; everything else scales out.
+  */
+object DenseId {
+
+  /** Returns `df` with an extra `idCol` BIGINT column, dense 0-based ids in
+    * ascending `sortCols` order. `sortCols` must be a total order
+    * (deterministic ids require no ties across rows).
+    */
+  def assign(df: DataFrame, idCol: String, sortCols: Seq[String],
+             numPartitions: Int = 0): DataFrame = {
+    val cols: Seq[Column] = sortCols.map(col)
+    val parted =
+      (if (numPartitions > 0) df.repartitionByRange(numPartitions, cols: _*)
+       else df.repartitionByRange(cols: _*))
+        .withColumn("_pid", spark_partition_id())
+    // cache so the pid→count pass and the final pass see identical sampling
+    parted.persist()
+    val offsets = parted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset",
+        coalesce(sum("_cnt").over(
+          Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_pid", "_offset")
+    val w = Window.partitionBy("_pid").orderBy(cols: _*)
+    val out = parted
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn(idCol, row_number().over(w).cast("long") - 1 + col("_offset"))
+      .drop("_pid", "_offset")
+    out
+  }
+}

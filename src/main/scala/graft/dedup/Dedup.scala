@@ -1,0 +1,142 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines over a
+  * `documents(doc_id, text, ...)` table. Scale notes per operator — exact
+  * dedup and MinHash-LSH are linear + one shuffle; the pairwise variants
+  * exist as verification baselines and are candidate-bounded.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one shuffle on md5(text).
+    * Output: (doc_id, content_hash, group_size, is_canonical) — canonical =
+    * smallest doc_id in the group (the standard "keep one" policy).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("content_hash")
+    docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col(idCol) === min(idCol).over(w))
+  }
+
+  /** n-gram Jaccard similarity over DISTINCT word tokens for candidate
+    * pairs — exact pairwise baseline (quadratic: bound the candidate set
+    * upstream; at scale the LSH variant generates the candidates).
+    * Output: (a, b, jaccard) for pairs with jaccard ≥ minSim, a < b.
+    */
+  def tokenJaccardPairs(docs: DataFrame, minSim: Double,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = toks.withColumnRenamed("id", "a")
+      .join(toks.withColumnRenamed("id", "b"), "tok")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minSim)
+  }
+
+  /** MinHash signatures (k entries) per doc. */
+  def minhashSignatures(docs: DataFrame, k: Int = 8,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val sig = (0 until k).map(j => TextOps.minhash(col(textCol), j).as(s"mh$j"))
+    docs.select((col(idCol) +: sig): _*)
+  }
+
+  /** MinHash + LSH banding: docs sharing ≥1 of `bands` band values are
+    * candidate pairs; estimated similarity = fraction of matching signature
+    * entries. The scale path: shingle→minhash is a narrow map; the
+    * band-bucket join shuffles once on band value; candidate count ≈ true
+    * near-dups, never n².
+    * Output: (a, b, est_sim) distinct pairs, a < b.
+    */
+  def minhashLsh(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = minhashSignatures(docs, k, idCol, textCol)
+      .withColumnRenamed(idCol, "id").persist()
+    val bandCols = (0 until bands).map { b =>
+      md5(concat((0 until r).map(i => col(s"mh${b * r + i}")): _*)).as("band")
+    }
+    val buckets = bandCols.zipWithIndex.map { case (bc, i) =>
+      sigs.select(col("id"), lit(i).as("band_idx"), bc)
+    }.reduce(_ unionByName _)
+    val cand = buckets.withColumnRenamed("id", "a")
+      .join(buckets.withColumnRenamed("id", "b"), Seq("band_idx", "band"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val matches = (0 until k).map(j =>
+      when(col(s"la.mh$j") === col(s"lb.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("la"), col("a") === col("la.id"))
+      .join(sigs.as("lb"), col("b") === col("lb.id"))
+      .select(col("a"), col("b"),
+        (matches.cast("double") / k).as("est_sim"))
+  }
+
+  /** SimHash near-dup: 16-bit fingerprints; pairs at Hamming distance ≤
+    * maxDist. Bucketed by fingerprint halves (any pair within distance ≤
+    * maxDist shares a half when maxDist < 2 per half — classic
+    * multi-index): here we emit exact-fingerprint groups plus
+    * half-fingerprint candidates filtered by true Hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 2,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      TextOps.simhash16(col(textCol)).as("fp")).persist()
+    val halves = fps.select(col("id"), col("fp"), lit(0).as("h"),
+        (col("fp").bitwiseAND(0xFF)).as("key"))
+      .unionByName(fps.select(col("id"), col("fp"), lit(1).as("h"),
+        shiftright(col("fp"), 8).as("key")))
+    val cand = halves.select(col("id").as("a"), col("fp").as("fpa"), col("h"), col("key"))
+      .join(halves.select(col("id").as("b"), col("fp").as("fpb"), col("h"), col("key")),
+        Seq("h", "key"))
+      .where(col("a") < col("b"))
+      .select("a", "b", "fpa", "fpb").distinct()
+    cand.withColumn("dist", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+      .where(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+  }
+
+  /** Embedding cosine near-dup: pairs with cosine ≥ minSim. Exact pairwise
+    * baseline (bound candidates upstream; the IVF path in graft.ann
+    * generates candidates at scale).
+    */
+  def embeddingCosinePairs(embs: DataFrame, minSim: Double,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val v = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val a = v.select(col("id").as("a"), col("v").as("va"))
+    val b = v.select(col("id").as("b"), col("v").as("vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= minSim)
+  }
+
+  /** Cosine similarity of two double arrays via built-in higher-order
+    * functions (codegen-friendly; no UDF).
+    */
+  def cosine(x: Column, y: Column): Column = {
+    val dot = aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), _ + _)
+    val nx = sqrt(aggregate(transform(x, a => a * a), lit(0.0), _ + _))
+    val ny = sqrt(aggregate(transform(y, a => a * a), lit(0.0), _ + _))
+    dot / (nx * ny)
+  }
+}
