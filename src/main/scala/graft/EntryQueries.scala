@@ -31,8 +31,10 @@ import graft.multimodal.Multimodal
   */
 object EntryQueries {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.core.Sessions.tune(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   // ---------------------------------------------------------------- graphs
   /** G1 raw directed multigraph (self-loops kept). */
@@ -177,6 +179,35 @@ object EntryQueries {
 
     "kcore" -> ((s, d) =>
       Centrality.coreDecomposition(s, g2(s, d)).orderBy("id")),
+
+    // ---- community: PLM (multilevel Louvain; rows-only — async-free but
+    // iterative) ---------------------------------------------------------
+    "plm" -> ((s, d) =>
+      graft.algo.PLM.run(s, g1Simple(s, d)).labels.orderBy("id")),
+
+    // ---- ANF effective diameter (sketch-based; rows-only) ---------------
+    "anf_diameter" -> ((s, d) => {
+      import s.implicits._
+      Seq(graft.algo.Anf.effectiveDiameter(s, g2(s, d), r = 16))
+        .toDF("effective_diameter")
+    }),
+
+    // ---- edge scores / sparsification -----------------------------------
+    "es_jaccard" -> ((s, d) =>
+      graft.algo.EdgeScores.jaccardSimilarity(s, g1Simple(s, d))
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
+        .orderBy("src", "dst")),
+
+    "es_local_degree" -> ((s, d) =>
+      graft.algo.EdgeScores.localDegree(s, g1Simple(s, d))
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
+        .orderBy("src", "dst")),
+
+    "es_backbone" -> ((s, d) => {
+      val scores = graft.algo.EdgeScores.jaccardSimilarity(s, g1Simple(s, d))
+      graft.algo.EdgeScores.globalThreshold(g1Simple(s, d), scores, 0.2)
+        .select("src", "dst").orderBy("src", "dst")
+    }),
 
     // ---- quality metrics ------------------------------------------------
     "q_modularity" -> ((s, d) => {
@@ -496,6 +527,47 @@ SELECT id, round(r / norm.l1, 6) AS score FROM p20, norm ORDER BY id""")
          |SELECT id, min(dd) AS dist FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
     "pr20" -> pr20Sql,
+
+    "es_jaccard" ->
+      s"""WITH $G1SQL,
+         |tris AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM e_simple e1
+         |  JOIN e_simple e2 ON e1.dst = e2.src
+         |  JOIN e_simple e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |sides AS (SELECT u AS a, v AS b FROM tris UNION ALL
+         |  SELECT u, w FROM tris UNION ALL SELECT v, w FROM tris),
+         |cnt AS (SELECT a AS src, b AS dst, count(*) AS t FROM sides GROUP BY 1,2)
+         |SELECT e.src, e.dst,
+         |  round(coalesce(c.t, 0) * 1.0 / (da.degree + db.degree - coalesce(c.t, 0)), 6) AS score
+         |FROM e_simple e LEFT JOIN cnt c ON e.src = c.src AND e.dst = c.dst
+         |JOIN deg da ON e.src = da.id JOIN deg db ON e.dst = db.id
+         |ORDER BY e.src, e.dst""".stripMargin,
+
+    "es_local_degree" ->
+      s"""WITH $G1SQL,
+         |inc AS (SELECT s.src AS node, s.dst AS nbr, dn.degree AS dnbr, dd.degree AS dnode
+         |  FROM e_sym s JOIN deg dn ON s.dst = dn.id JOIN deg dd ON s.src = dd.id),
+         |rk AS (SELECT node, nbr, dnode,
+         |  row_number() OVER (PARTITION BY node ORDER BY dnbr DESC, nbr ASC) AS r
+         |  FROM inc),
+         |sc AS (SELECT least(node, nbr) AS src, greatest(node, nbr) AS dst,
+         |  CASE WHEN dnode <= 1 THEN 1.0 ELSE 1.0 - ln(r) / ln(dnode) END AS s
+         |  FROM rk)
+         |SELECT src, dst, round(max(s), 6) AS score FROM sc GROUP BY 1, 2
+         |ORDER BY src, dst""".stripMargin,
+
+    "es_backbone" ->
+      s"""WITH $G1SQL,
+         |tris AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM e_simple e1
+         |  JOIN e_simple e2 ON e1.dst = e2.src
+         |  JOIN e_simple e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |sides AS (SELECT u AS a, v AS b FROM tris UNION ALL
+         |  SELECT u, w FROM tris UNION ALL SELECT v, w FROM tris),
+         |cnt AS (SELECT a AS src, b AS dst, count(*) AS t FROM sides GROUP BY 1,2)
+         |SELECT e.src, e.dst
+         |FROM e_simple e LEFT JOIN cnt c ON e.src = c.src AND e.dst = c.dst
+         |JOIN deg da ON e.src = da.id JOIN deg db ON e.dst = db.id
+         |WHERE coalesce(c.t, 0) * 1.0 / (da.degree + db.degree - coalesce(c.t, 0)) >= 0.2
+         |ORDER BY e.src, e.dst""".stripMargin,
 
     "q_modularity" ->
       s"""WITH $G1SQL,

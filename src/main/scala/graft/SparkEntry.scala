@@ -16,7 +16,7 @@ object SparkEntry {
     * centrality output in one plan.
     */
   def entry(spark: SparkSession): DataFrame = {
-    spark.conf.set("spark.sql.maxPlanStringLength", "65536")
+    core.Sessions.tune(spark)
     val pages = ingest.PageGen.pages(spark, 2000, seed = 42).toDF()
     val (nodes, edges) = ingest.LinkGraph.build(spark, pages)
     val pr = algo.PageRank.run(spark, edges, nodes.select("id"),
@@ -29,7 +29,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EntryQueries.queries
+    EntryQueries.queries.map { case (name, fn) =>
+      name -> ((s: SparkSession, d: String) => {
+        core.Sessions.tune(s); fn(s, d)
+      })
+    }
 
   /** DuckDB-runnable oracle SQL per query (omitted → rows-only check). */
   def oracleSql: Map[String, String] = EntryQueries.oracleSql

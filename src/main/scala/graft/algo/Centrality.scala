@@ -107,9 +107,9 @@ object Centrality {
     // eager localCheckpoint per round: flat plans, one live generation
     // (see IterationDriver on iterative-lineage blowup)
     var live = GraphOps.symmetrize(simple.withColumn("weight", lit(1.0)))
-      .select("src", "dst").localCheckpoint(true)
+      .select("src", "dst").transform(graft.core.Materialize.checkpoint)
     var liveNodes = GraphOps.nodes(simple.withColumn("weight", lit(1.0)))
-      .localCheckpoint(true)
+      .transform(graft.core.Materialize.checkpoint)
     val results = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var k = 0L
     var remaining = liveNodes.count()
@@ -117,18 +117,18 @@ object Centrality {
       val deg = live.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
       val degAll = liveNodes.join(deg, Seq("id"), "left")
         .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
-      val peel = degAll.where(col("d") <= k).select("id").localCheckpoint(true)
+      val peel = degAll.where(col("d") <= k).select("id").transform(graft.core.Materialize.checkpoint)
       val nPeel = peel.count()
       if (nPeel == 0) {
         k += 1
       } else {
         results += peel.select(col("id"), lit(k).as("coreness"))
         liveNodes = liveNodes.join(peel, Seq("id"), "left_anti")
-          .localCheckpoint(true)
+          .transform(graft.core.Materialize.checkpoint)
         live = live
           .join(peel.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
           .join(peel.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-          .select("src", "dst").localCheckpoint(true)
+          .select("src", "dst").transform(graft.core.Materialize.checkpoint)
         remaining -= nPeel
       }
     }

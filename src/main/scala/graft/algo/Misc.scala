@@ -1,0 +1,105 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.GraphOps
+import graft.ingest.PageGen
+
+/** Degree assortativity (`correlation/Assortativity.cpp` in the reference;
+  * used by `networkit.overview()`): Pearson correlation of endpoint degrees
+  * over the symmetrized edge list. One join + one aggregate.
+  */
+object Assortativity {
+  def degreeAssortativity(spark: SparkSession, edges: DataFrame): Double = {
+    val canon = GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst")))
+    val deg = GraphOps.degrees(GraphOps.symmetrize(canon))
+    val sym = GraphOps.symmetrize(canon)
+      .join(deg.select(col("id").as("src"), col("degree").as("dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("dy")), "dst")
+    val r = sym.agg(corr(col("dx").cast("double"), col("dy").cast("double")))
+      .head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+}
+
+/** Deterministic synthetic graph generators (reference
+  * `networkit/cpp/generators/`, 5041 LoC of stateful-RNG generators) —
+  * re-expressed as pure counter-based functions of (seed, index) so output
+  * is identical across runs and parallelism levels (SURVEY.md §2.9).
+  */
+object Generators {
+
+  /** Erdős–Rényi G(n, p) (`generators/ErdosRenyiGenerator.cpp`) via the
+    * geometric-skip trick the reference itself uses (Batagelj–Brandes):
+    * per source u, successive kept neighbors v > u are found by skipping
+    * Geometric(p) gaps. Each skip is a pure function of (seed, u, k), so
+    * generation is embarrassingly parallel over sources and O(m) total —
+    * no n² pair enumeration.
+    */
+  def erdosRenyi(spark: SparkSession, n: Long, p: Double,
+                 seed: Long = 42): DataFrame = {
+    import spark.implicits._
+    val log1mp = math.log1p(-p)
+    spark.range(n).flatMap { uBoxed =>
+      val u: Long = uBoxed.longValue
+      Iterator.unfold((u, 0)) { case (v, k) =>
+        val h = PageGen.mix64(PageGen.mix64(seed ^ u) ^ k.toLong)
+        val r = math.max((h >>> 11).toDouble / (1L << 53).toDouble, 1e-300)
+        val skip = 1L + math.floor(math.log(r) / log1mp).toLong
+        val next = v + skip
+        if (next >= n) None else Some(((u, next, 1.0), (next, k + 1)))
+      }
+    }.toDF("src", "dst", "weight")
+  }
+
+  /** RMAT-style web-like power-law generator
+    * (`generators/RmatGenerator.cpp` shape): delegates to the crawl
+    * generator's skewed link function — each of ~m edges is a pure function
+    * of (seed, counter).
+    */
+  def rmatLike(spark: SparkSession, n: Long, seed: Long = 42,
+               maxOutDeg: Int = 256): DataFrame =
+    PageGen.edges(spark, n, seed, maxOutDeg)
+
+  /** Barabási–Albert-ish attachment (`generators/BarabasiAlbertGenerator
+    * .cpp` shape, determinized): node i attaches k edges to targets drawn
+    * ∝ a power-law over [0, i) via counter-based hashing — preferential-
+    * attachment-like degree distribution without sequential state.
+    */
+  def barabasiAlbertLike(spark: SparkSession, n: Long, k: Int = 3,
+                         seed: Long = 42): DataFrame = {
+    import spark.implicits._
+    spark.range(1L, n).flatMap { i =>
+      (0 until math.min(k.toLong, i).toInt).iterator.map { j =>
+        val h = PageGen.mix64(PageGen.mix64(seed ^ i) ^ j.toLong)
+        val u = (h >>> 11).toDouble / (1L << 53).toDouble
+        // skew toward low ids (early nodes = high degree)
+        val t = math.min((i.toDouble * math.pow(u, 2.0)).toLong, i - 1)
+        (i, t, 1.0)
+      }
+    }.toDF("src", "dst", "weight")
+  }
+}
+
+/** Synthetic partitions (`community/ClusteringGenerator.cpp`): singleton,
+  * all-in-one, deterministic-random, continuous balanced — used as test
+  * inputs for quality metrics.
+  */
+object ClusteringGenerator {
+  def singleton(nodes: DataFrame): DataFrame =
+    nodes.select(col("id"), col("id").as("label"))
+
+  def allInOne(nodes: DataFrame): DataFrame =
+    nodes.select(col("id"), lit(0L).as("label"))
+
+  def random(nodes: DataFrame, k: Int, seed: Long = 42): DataFrame =
+    nodes.select(col("id"),
+      pmod(xxhash64(col("id"), lit(seed)), lit(k.toLong)).as("label"))
+
+  def continuousBalanced(nodes: DataFrame, k: Int): DataFrame = {
+    val n = nodes.count()
+    val per = math.max(1L, (n + k - 1) / k)
+    nodes.select(col("id"), (col("id") / per).cast("long").as("label"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.GraphOps
+
+/** PLM — parallel Louvain method (`community/PLM.cpp:29-345`), multilevel:
+  * move phase to a local optimum, contract by partition
+  * (`ParallelPartitionCoarsening`), recurse, prolong.
+  *
+  * Move rule (`PLM.cpp:140-146`): moving u from C to D changes modularity by
+  * `Δ = (aff(u,D) − aff(u,C∖u))/tw + γ·((vol(C∖u) − vol(D∖u))·vol(u)) /
+  * (2·tw²)`; u moves to the Δ-maximizing neighbor community if Δ > 0.
+  * Volumes count self-loops twice (`PLM.cpp:47-51`). The reference moves
+  * asynchronously (schedule-dependent); this engine uses the same
+  * deterministic red-black schedule as PLP, so results are reproducible;
+  * quality parity is asserted via modularity in tests.
+  *
+  * Scale shape per sweep: one join edges×labels (neighbor-community
+  * affinities, map-side combinable groupBy), one broadcast-sized community
+  * volume table joined back, one argmax window-free `max_by`. Coarsening
+  * shrinks the graph geometrically, so total work ≈ 2× the first level.
+  */
+object PLM {
+
+  final case class Config(gamma: Double = 1.0, maxMovePasses: Int = 8,
+                          maxLevels: Int = 8)
+
+  final case class Result(labels: DataFrame, levels: Int)
+
+  /** One level's move phase: returns (labels, movedAny). */
+  private def movePhase(spark: SparkSession, canon: DataFrame, cfg: Config): DataFrame = {
+    val sym = GraphOps.symmetrize(canon).transform(graft.core.Materialize.checkpoint)
+    val nodes = GraphOps.nodes(canon)
+    val tw = canon.agg(sum("weight")).head().getDouble(0)
+
+    // vol(u): weighted degree + self-loop weight again (loops twice)
+    val wdeg = GraphOps.weightedDegrees(sym)
+    val loops = canon.where(col("src") === col("dst"))
+      .groupBy(col("src").as("id")).agg(sum("weight").as("loopw"))
+    val vol = nodes.join(wdeg, Seq("id"), "left")
+      .join(loops, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("wdegree"), lit(0.0)) +
+          coalesce(col("loopw"), lit(0.0))).as("vol"))
+      .transform(graft.core.Materialize.checkpoint)
+
+    // neighbor edges without self-loops (affinity excludes u itself)
+    val nbrs = sym.where(col("src") =!= col("dst")).transform(graft.core.Materialize.checkpoint)
+
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .transform(graft.core.Materialize.checkpoint)
+    var pass = 0
+    var moved = 1L
+    while (moved > 0 && pass < cfg.maxMovePasses) {
+      pass += 1
+      val parity = pass % 2
+      val comVol = labels.join(vol, "id")
+        .groupBy("label").agg(sum("vol").as("cvol"))
+      // affinities of updating nodes to neighbor communities
+      val aff = nbrs
+        .join(labels.select(col("id").as("src"), col("label").as("nlabel")), "src")
+        .where(pmod(col("dst"), lit(2)) === parity)
+        .groupBy(col("dst").as("id"), col("nlabel"))
+        .agg(sum("weight").as("aff"))
+      val cur = labels.withColumnRenamed("label", "clabel")
+        .join(vol, "id")
+        .join(comVol.select(col("label").as("clabel"), col("cvol").as("cvolC")), "clabel")
+      // candidate deltas; affC = affinity to own community (may be absent)
+      val withAff = aff
+        .join(cur, "id")
+        .join(comVol.select(col("label").as("nlabel"), col("cvol").as("cvolD")),
+          Seq("nlabel"), "left")
+      val affC = withAff.where(col("nlabel") === col("clabel"))
+        .select(col("id"), col("aff").as("affC"))
+      val cand = withAff.where(col("nlabel") =!= col("clabel"))
+        .join(affC, Seq("id"), "left")
+        .select(col("id"), col("nlabel"), col("clabel"),
+          ((col("aff") - coalesce(col("affC"), lit(0.0))) / tw +
+            lit(cfg.gamma) *
+              (((col("cvolC") - col("vol")) - col("cvolD")) * col("vol")) /
+              (2 * tw * tw)).as("delta"))
+      val best = cand.groupBy("id")
+        .agg(max_by(struct(col("nlabel"), col("delta")),
+          struct(col("delta"), (-col("nlabel")).as("nl"))).as("b"))
+        .select(col("id"), col("b.nlabel").as("winner"), col("b.delta").as("delta"))
+        .where(col("delta") > 1e-15)
+      val newLabels = labels.join(best.select("id", "winner"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("winner"), col("label")).as("label"))
+        .transform(graft.core.Materialize.checkpoint)
+      moved = best.count()
+      labels = newLabels
+    }
+    labels
+  }
+
+  def run(spark: SparkSession, edges: DataFrame,
+          cfg: Config = Config()): Result = {
+    val canon0 = GraphOps.canonicalize(edges).transform(graft.core.Materialize.checkpoint)
+
+    def level(canon: DataFrame, depth: Int): DataFrame = {
+      val labels = movePhase(spark, canon, cfg)
+      val nComms = labels.select("label").distinct().count()
+      val nNodes = labels.count()
+      if (nComms == nNodes || depth + 1 >= cfg.maxLevels) labels
+      else {
+        // contract (ParallelPartitionCoarsening.cpp:20-70) and recurse
+        val coarse = Coarsening.byPartition(canon, labels).transform(graft.core.Materialize.checkpoint)
+        val coarseLabels = level(coarse, depth + 1)
+        // prolong: fine node -> its community's coarse label
+        labels.join(coarseLabels.select(col("id").as("label"),
+            col("label").as("clabel")).withColumnRenamed("clabel", "flabel"),
+            Seq("label"), "left")
+          .select(col("id"), coalesce(col("flabel"), col("label")).as("label"))
+      }
+    }
+    Result(level(canon0, 0), 1)
+  }
+}

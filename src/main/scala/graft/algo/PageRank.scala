@@ -48,8 +48,17 @@ object PageRank {
     *              graph has no isolated nodes.
     * @return scores `(id, score)`, L1-normalized.
     */
+  /** @param warmStart optional previous score vector `(id, score)` to seed
+    *                   the iteration (dynamic-graph incremental recompute:
+    *                   after an event batch mutates the edge table, warm
+    *                   starting cuts iterations-to-tol sharply — the
+    *                   Spark-native analog of the reference's Dyn*
+    *                   algorithms, SURVEY.md §2.10). New nodes fall back to
+    *                   1/n; the vector is re-normalized to sum 1 before
+    *                   iterating.
+    */
   def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
-          cfg: Config = Config()): Result = {
+          cfg: Config = Config(), warmStart: Option[DataFrame] = None): Result = {
     val parts =
       if (cfg.shufflePartitions > 0) cfg.shufflePartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -70,7 +79,14 @@ object PageRank {
     val nodesP = nodes.repartition(parts, col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val init = nodesP.select(col("id"), lit(1.0 / n).as("score"))
+    val init = warmStart match {
+      case None => nodesP.select(col("id"), lit(1.0 / n).as("score"))
+      case Some(prev) =>
+        val joined = nodesP.join(prev, Seq("id"), "left")
+          .select(col("id"), coalesce(col("score"), lit(1.0 / n)).as("score"))
+        val total = joined.agg(sum("score")).head().getDouble(0)
+        joined.select(col("id"), (col("score") / total).as("score"))
+    }
 
     def step(state: DataFrame, iter: Int): DataFrame = {
       val contribs = shares

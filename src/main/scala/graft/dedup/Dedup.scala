@@ -110,7 +110,8 @@ object Dedup {
         Seq("h", "key"))
       .where(col("a") < col("b"))
       .select("a", "b", "fpa", "fpb").distinct()
-    cand.withColumn("dist", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+    cand.withColumn("dist",
+        bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast("long"))
       .where(col("dist") <= maxDist)
       .select("a", "b", "dist")
   }

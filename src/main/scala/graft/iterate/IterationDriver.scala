@@ -104,7 +104,7 @@ object IterationDriver {
 
     val resumed = cfg.checkpointDir.flatMap(latestSnapshot(spark, _))
     val startIter = resumed.map(_._1).getOrElse(0)
-    var state = resumed.map(_._2).getOrElse(init).localCheckpoint(true)
+    var state = resumed.map(_._2).getOrElse(init).transform(graft.core.Materialize.checkpoint)
     var history = Vector.empty[IterRecord]
 
     var iter = startIter
@@ -113,7 +113,7 @@ object IterationDriver {
       val t0 = System.nanoTime()
       iter += 1
       // eager: materializes the new state and truncates lineage
-      var next = step(state, iter).localCheckpoint(true)
+      var next = step(state, iter).transform(graft.core.Materialize.checkpoint)
       val m = metric(state, next)
       converged = m <= cfg.tol
 
@@ -127,7 +127,7 @@ object IterationDriver {
         next.write.mode("overwrite").parquet(snapshot)
         freeCheckpointed(next)
         // reload: resume-from-disk ≡ continue-in-memory, bit-identical
-        next = spark.read.parquet(snapshot).localCheckpoint(true)
+        next = spark.read.parquet(snapshot).transform(graft.core.Materialize.checkpoint)
       }
       freeCheckpointed(state)
       val wallMs = (System.nanoTime() - t0) / 1000000

@@ -1,0 +1,178 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.DenseId
+import graft.streaming.{GraphEvent, GraphEventType}
+
+/** Graph file-format sources/sinks (SURVEY.md §2.1; reference dispatch in
+  * `networkit/graphio.py:116` over the Format enum).
+  *
+  * Distributed parse shape: `spark.read.text` → split/filter — fully
+  * parallel. Where a format's semantics need file order (non-continuous id
+  * remap by first appearance, METIS line-number = node id), order comes
+  * from `monotonically_increasing_id()` over the text scan, which is
+  * ascending in file order (splits are enumerated by offset); dense ids are
+  * then assigned with the scalable two-phase DenseId pass — no global
+  * single-partition window.
+  */
+object Readers {
+
+  /** EdgeList reader (`io/EdgeListReader.h:27-75`): configurable separator,
+    * firstNode offset, comment prefix; 2 columns = unweighted (weight 1.0),
+    * 3 = weighted. `continuous=true` assumes numeric ids (reference
+    * readContinuous, `EdgeListReader.cpp:37`); otherwise tokens are remapped
+    * to consecutive 0-based ids in order of first appearance
+    * (readNonContinuous, `:143`).
+    */
+  def edgeList(spark: SparkSession, path: String, separator: String = "\\s+",
+               firstNode: Long = 0, commentPrefix: String = "#",
+               continuous: Boolean = true): DataFrame = {
+    val lines = spark.read.text(path)
+      .withColumn("_ord", monotonically_increasing_id())
+      .where(!col("value").startsWith(commentPrefix) &&
+        length(trim(col("value"))) > 0)
+    val parts = lines.select(col("_ord"),
+      split(trim(col("value")), separator).as("p"))
+    val raw = parts.select(col("_ord"),
+      element_at(col("p"), 1).as("srcTok"),
+      element_at(col("p"), 2).as("dstTok"),
+      when(size(col("p")) >= 3, element_at(col("p"), 3).cast("double"))
+        .otherwise(1.0).as("weight"))
+    if (continuous) {
+      raw.select((col("srcTok").cast("long") - firstNode).as("src"),
+        (col("dstTok").cast("long") - firstNode).as("dst"), col("weight"))
+    } else {
+      // first-appearance order: src of line k precedes dst of line k
+      val occurrences = raw
+        .select(col("srcTok").as("tok"), (col("_ord") * 2).as("pos"))
+        .unionByName(raw.select(col("dstTok").as("tok"),
+          (col("_ord") * 2 + 1).as("pos")))
+        .groupBy("tok").agg(min("pos").as("first_pos"))
+      val ids = DenseId.assign(occurrences, "nid", Seq("first_pos"))
+        .select("tok", "nid")
+      raw
+        .join(ids.select(col("tok").as("srcTok"), col("nid").as("src")), "srcTok")
+        .join(ids.select(col("tok").as("dstTok"), col("nid").as("dst")), "dstTok")
+        .select("src", "dst", "weight")
+    }
+  }
+
+  /** SNAP reader (`io/SNAPGraphReader.cpp:17-45`): tab/space edge list with
+    * `#` comments, ids remapped by first appearance.
+    */
+  def snap(spark: SparkSession, path: String): DataFrame =
+    edgeList(spark, path, separator = "\\s+", commentPrefix = "#",
+      continuous = false)
+
+  /** KONECT reader (`io/KONECTGraphReader.cpp`): whitespace edge list with
+    * `%` comments, 1-based continuous ids.
+    */
+  def konect(spark: SparkSession, path: String): DataFrame =
+    edgeList(spark, path, separator = "\\s+", firstNode = 1,
+      commentPrefix = "%", continuous = true)
+
+  /** METIS reader (`io/METISGraphReader.h:21-34`): header `n m [fmt]`;
+    * data line i (1-based after skipping `%` comments) lists the neighbors
+    * of node i-1 (1-based ids); fmt=1 → weighted pairs (nbr w). Emits each
+    * undirected edge twice (once per endpoint) like the in-memory adjacency;
+    * canonicalize downstream.
+    */
+  def metis(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .withColumn("_ord", monotonically_increasing_id())
+      .where(!col("value").startsWith("%"))
+    val withNo = DenseId.assign(lines, "_lineno", Seq("_ord"))
+    val header = withNo.where(col("_lineno") === 0)
+      .select(split(trim(col("value")), "\\s+").as("h")).head()
+    val fmt = { val h = header.getSeq[String](0); if (h.length >= 3) h(2) else "0" }
+    val weighted = fmt.endsWith("1") && fmt != "10" // edge weights present
+    val data = withNo.where(col("_lineno") > 0)
+      .select((col("_lineno") - 1).as("src"),
+        split(trim(col("value")), "\\s+").as("toks"))
+      .where(size(col("toks")) > 0 && element_at(col("toks"), 1) =!= "")
+    if (!weighted) {
+      data.select(col("src"), explode(col("toks")).as("nbr"))
+        .select(col("src"), (col("nbr").cast("long") - 1).as("dst"),
+          lit(1.0).as("weight"))
+    } else {
+      // pairs (neighbor, weight)
+      data.select(col("src"), posexplode(col("toks")).as(Seq("i", "tok")))
+        .withColumn("pair", (col("i") / 2).cast("long"))
+        .groupBy("src", "pair")
+        .agg(min(when(col("i") % 2 === 0, col("tok"))).as("nbr"),
+          min(when(col("i") % 2 === 1, col("tok"))).as("w"))
+        .select(col("src"), (col("nbr").cast("long") - 1).as("dst"),
+          col("w").cast("double").as("weight"))
+    }
+  }
+
+  /** Partition reader (`io/PartitionReader.cpp`): line i = label of node i. */
+  def partition(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .withColumn("_ord", monotonically_increasing_id())
+    DenseId.assign(lines, "id", Seq("_ord"))
+      .select(col("id"), trim(col("value")).cast("long").as("label"))
+  }
+
+  /** DGS dynamic-graph stream parser (`dynamics/DGSStreamParser.h:23-40`,
+    * format cookie DGS004): commands st / an / ae / de / dn / ce; string
+    * keys mapped to consecutive ids in first-appearance order. An ordered
+    * event log with stateful key mapping is inherently sequential — parsed
+    * driver-side (event logs are control-plane-sized), returned as a
+    * Dataset for distributed downstream folds.
+    */
+  def dgs(spark: SparkSession, path: String): Dataset[GraphEvent] = {
+    import spark.implicits._
+    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    require(lines.nonEmpty && lines.head.startsWith("DGS"),
+      "expected DGS cookie in first line")
+    val key2id = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def mapKey(k: String): Long = key2id.getOrElseUpdate(k, key2id.size.toLong)
+    val edgeKey = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    var ts = 0L
+    val events = lines.drop(2).filter(_.trim.nonEmpty).flatMap { line =>
+      ts += 1
+      val sp = line.trim.split("\\s+").toVector
+      def weightArg(i: Int): Double =
+        if (sp.length > i && sp(i).contains("=")) sp(i).split("=")(1).toDouble
+        else 1.0
+      sp.head match {
+        case "st" => Some(GraphEvent(GraphEventType.TimeStep, 0, 0, 0.0, ts))
+        case "an" => Some(GraphEvent(GraphEventType.NodeAddition,
+          mapKey(sp(1)), 0, 0.0, ts))
+        case "dn" => Some(GraphEvent(GraphEventType.NodeRemoval,
+          mapKey(sp(1)), 0, 0.0, ts))
+        case "ae" =>
+          val (u, v) = (mapKey(sp(2)), mapKey(sp(3)))
+          edgeKey(sp(1)) = (u, v)
+          Some(GraphEvent(GraphEventType.EdgeAddition, u, v, weightArg(4), ts))
+        case "de" => edgeKey.get(sp(1)).map { case (u, v) =>
+          GraphEvent(GraphEventType.EdgeRemoval, u, v, 0.0, ts) }
+        case "ce" => edgeKey.get(sp(1)).map { case (u, v) =>
+          GraphEvent(GraphEventType.EdgeWeightUpdate, u, v, weightArg(2), ts) }
+        case _ => None
+      }
+    }
+    events.toDS()
+  }
+}
+
+/** Writers (`io/EdgeListWriter.cpp`, `PartitionWriter.cpp`): edge table /
+  * labels → text, plus parquet as the engine-native sink.
+  */
+object Writers {
+
+  def edgeList(edges: DataFrame, path: String, separator: String = " "): Unit =
+    edges.select(concat_ws(separator,
+        col("src").cast("string"), col("dst").cast("string"),
+        col("weight").cast("string")).as("value"))
+      .write.mode("overwrite").text(path)
+
+  def partition(labels: DataFrame, path: String): Unit =
+    labels.orderBy("id").select(col("label").cast("string").as("value"))
+      .coalesce(1).write.mode("overwrite").text(path)
+
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

@@ -16,7 +16,7 @@ object SparkTestBase {
       .config("spark.sql.maxPlanStringLength", "65536")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    graft.core.Sessions.tune(s)
   }
 }
 
