@@ -76,18 +76,24 @@ object Bench {
 }
 
 /** Scaling evidence for the north rule's two-cluster-size criterion: the
-  * same PageRank job at local[8] (N) and local[32] (4N) on the same input;
-  * reports throughput at both and efficiency = (t8/t32)/4. ≥3 reps per
-  * level, first discarded (warmup), median reported (BASELINE.md protocol).
+  * same PageRank job at two parallelism levels (N and 4N cores) on the same
+  * input; reports throughput at both and efficiency = (tN/t4N)/4. ≥3 reps
+  * per level, first discarded (warmup), median reported (BASELINE.md
+  * protocol). Args: [nodes] [reps] [levelN] [level4N].
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
-    val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    val n = if (args.nonEmpty) args(0).toLong else 4000000L
     val reps = if (args.length > 1) args(1).toInt else 3
-    val levels = Seq("8", "32")
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Int, Long)]
+    val levels = Seq(
+      if (args.length > 2) args(2) else "2",
+      if (args.length > 3) args(3) else "8")
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Int, Long, Double)]
     for (cpus <- levels) {
       val spark = Bench.buildSession(cpus)
+      // partitions = 2x cores: smooths residual skew without drowning the
+      // scheduler in tiny tasks
+      spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
       val edges = PageGen.edges(spark, n, seed = 42,
           numPartitions = cpus.toInt * 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -96,26 +102,31 @@ object ScalingBench {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       nodes.count()
       var iters = 0
+      var medianIterMs = 0.0
       val times = (0 until (reps + 1)).map { _ =>
         val t0 = System.nanoTime()
         val r = PageRank.run(spark, edges, nodes,
           PageRank.Config(tol = 1e-6, maxIter = 100))
         iters = r.iterations
+        val ws = r.history.map(_.wallMs).sorted
+        medianIterMs = if (ws.nonEmpty) ws(ws.length / 2).toDouble else 0.0
         r.scores.agg(sum("score")).head()
         (System.nanoTime() - t0) / 1e9
       }.drop(1).sorted // discard warmup run
       val median = times(times.length / 2)
-      out(cpus) = (median, iters, m)
-      System.err.println(s"local[$cpus]: median=${median}s iters=$iters m=$m times=$times")
+      out(cpus) = (median, iters, m, medianIterMs)
+      System.err.println(s"local[$cpus]: median=${median}s iters=$iters " +
+        s"medianIter=${medianIterMs}ms m=$m times=$times")
       spark.stop()
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
     }
-    val (t8, it8, m8) = out("8")
-    val (t32, _, _) = out("32")
-    val eps8 = m8.toDouble * it8 / t8
-    val eps32 = m8.toDouble * it8 / t32
-    val eff = (t8 / t32) / 4.0
-    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","pagerank_eps_per_iter_local8":$eps8,"pagerank_eps_per_iter_local32":$eps32,"sec_local8":$t8,"sec_local32":$t32,"iters":$it8,"edges":$m8,"nodes":$n}""")
+    val (tN, itN, m0, iterN) = out(levels.head)
+    val (t4N, _, _, iter4N) = out(levels.last)
+    val epsN = m0.toDouble * itN / tN
+    val eps4N = m0.toDouble * itN / t4N
+    val eff = (tN / t4N) / 4.0
+    val effIter = (iterN / iter4N) / 4.0
+    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","levels":"local[${levels.head}]->local[${levels.last}]","eff_per_iteration":$effIter,"pagerank_eps_per_iter_N":$epsN,"pagerank_eps_per_iter_4N":$eps4N,"sec_N":$tN,"sec_4N":$t4N,"median_iter_ms_N":$iterN,"median_iter_ms_4N":$iter4N,"iters":$itN,"edges":$m0,"nodes":$n}""")
   }
 }

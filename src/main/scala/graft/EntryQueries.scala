@@ -209,6 +209,35 @@ object EntryQueries {
         .select("src", "dst").orderBy("src", "dst")
     }),
 
+    // ---- distance / closeness ------------------------------------------
+    "closeness" -> ((s, d) => {
+      val sources = GraphOps.nodes(g2(s, d)).orderBy("id").limit(3)
+      graft.algo.Closeness.forSources(s, g2(s, d), sources)
+        .select(col("id"), round(col("closeness"), 6).as("closeness"),
+          round(col("harmonic"), 6).as("harmonic"))
+        .orderBy("id")
+    }),
+
+    // ---- spanning forest / MIS / betweenness / SCD (rows-only) ----------
+    "msf" -> ((s, d) =>
+      graft.algo.SpanningForest.minimumSpanningForest(s, g2(s, d))
+        .select(col("src"), col("dst")).orderBy("src", "dst")),
+
+    "luby_mis" -> ((s, d) =>
+      graft.algo.IndependentSet.luby(s, g2(s, d)).orderBy("id")),
+
+    "betweenness" -> ((s, d) =>
+      graft.algo.Betweenness.sampled(s, g2(s, d), nSources = 16)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy("id")),
+
+    "scd_nibble" -> ((s, d) => {
+      import s.implicits._
+      val seed = GraphOps.nodes(g2(s, d)).agg(min("id")).head().getLong(0)
+      graft.algo.SCD.pageRankNibble(s, g2(s, d), Seq(seed).toDF("id"))
+        .orderBy("id")
+    }),
+
     // ---- quality metrics ------------------------------------------------
     "q_modularity" -> ((s, d) => {
       val labels = GraphOps.nodes(g1Canon(s, d))
@@ -527,6 +556,18 @@ SELECT id, round(r / norm.l1, 6) AS score FROM p20, norm ORDER BY id""")
          |SELECT id, min(dd) AS dist FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
     "pr20" -> pr20Sql,
+
+    "closeness" ->
+      s"""WITH RECURSIVE $G2SQL,
+         |srcs AS (SELECT id AS s FROM nodes2 ORDER BY id LIMIT 3),
+         |walk(s, id, dd) AS (SELECT s, s, 0 FROM srcs
+         |  UNION SELECT walk.s, sy.v, walk.dd + 1 FROM walk JOIN sym2 sy ON sy.u = walk.id
+         |    WHERE walk.dd < 30),
+         |dist AS (SELECT s, id, min(dd) AS d FROM walk GROUP BY 1, 2)
+         |SELECT s AS id,
+         |  round(count(*) * 1.0 / sum(d), 6) AS closeness,
+         |  round(sum(1.0 / d), 6) AS harmonic
+         |FROM dist WHERE d > 0 GROUP BY s ORDER BY id""".stripMargin,
 
     "es_jaccard" ->
       s"""WITH $G1SQL,

@@ -1,0 +1,162 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GraphOps, Materialize}
+
+/** Closeness-family centralities (`centrality/Closeness.cpp`,
+  * `TopCloseness.cpp` — SURVEY.md §2.4): distance sums from batched
+  * multi-source BFS. At web scale exact all-sources closeness is
+  * quadratic by definition; the practical operators are (a) closeness for
+  * an explicit source set (all sources advance in the same frontier jobs)
+  * and (b) sampled approximation (`ApproxCloseness.cpp` shape) with a
+  * deterministic hash-chosen sample.
+  */
+object Closeness {
+
+  /** Closeness for the given sources over the undirected graph:
+    * `c(s) = (reached-1) / Σ dist` (the reference normalizes by component
+    * size; unreachable nodes don't contribute). Also emits harmonic
+    * closeness `Σ 1/dist` (robust on disconnected graphs).
+    */
+  def forSources(spark: SparkSession, edges: DataFrame,
+                 sources: DataFrame): DataFrame = {
+    val dists = SSSP.bfs(spark, edges, sources)
+    dists.where(col("dist") > 0)
+      .groupBy(col("source").as("id"))
+      .agg(count(lit(1)).as("reached"),
+        sum("dist").as("dist_sum"),
+        sum(lit(1.0) / col("dist")).as("harmonic"))
+      .select(col("id"),
+        (col("reached").cast("double") / col("dist_sum")).as("closeness"),
+        col("harmonic"))
+  }
+
+  /** Deterministic sampled closeness: sources = nodes with the `k` smallest
+    * `xxhash64(id, seed)` values (a uniform, reproducible sample).
+    */
+  def sampled(spark: SparkSession, edges: DataFrame, k: Int,
+              seed: Long = 42): DataFrame = {
+    val sources = GraphOps.nodes(edges)
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(k)
+      .select("id")
+    forSources(spark, edges, sources)
+  }
+}
+
+/** Minimum spanning forest via Borůvka rounds — the scalable replacement
+  * for the reference's sequential `KruskalMSF` (`graph/KruskalMSF.cpp`,
+  * SURVEY.md §2.8): per round every component picks its lightest outgoing
+  * edge (deterministic tie-break on (weight, src, dst)), the picked edges
+  * join the forest, components contract via hash-min, repeat until no
+  * outgoing edges remain. O(log n) rounds, each one join + two aggregations.
+  */
+object SpanningForest {
+
+  def minimumSpanningForest(spark: SparkSession, edges: DataFrame,
+                            maxRounds: Int = 64): DataFrame = {
+    val canon = GraphOps.canonicalize(edges.where(col("src") =!= col("dst")))
+      .transform(Materialize.checkpoint)
+    var labels = GraphOps.nodes(canon)
+      .select(col("id"), col("id").as("comp"))
+      .transform(Materialize.checkpoint)
+    var forest = canon.limit(0)
+    var round = 0
+    var picked = 1L
+    while (picked > 0 && round < maxRounds) {
+      round += 1
+      val lab = labels
+      val withComps = canon
+        .join(lab.select(col("id").as("src"), col("comp").as("csrc")), "src")
+        .join(lab.select(col("id").as("dst"), col("comp").as("cdst")), "dst")
+        .where(col("csrc") =!= col("cdst"))
+      // lightest outgoing edge per component (both directions considered)
+      val outgoing = withComps.select(col("csrc").as("comp"), col("src"),
+          col("dst"), col("weight"))
+        .unionByName(withComps.select(col("cdst").as("comp"), col("src"),
+          col("dst"), col("weight")))
+      val pickedEdges = outgoing.groupBy("comp")
+        .agg(min(struct(col("weight"), col("src"), col("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.weight").as("weight"))
+        .distinct()
+        .transform(Materialize.checkpoint)
+      picked = pickedEdges.count()
+      if (picked > 0) {
+        forest = forest.unionByName(pickedEdges)
+          .transform(Materialize.checkpoint)
+        // contract: components connected by picked edges merge (hash-min
+        // label propagation over the picked-edge graph of components)
+        val compEdges = pickedEdges
+          .join(lab.select(col("id").as("src"), col("comp").as("a")), "src")
+          .join(lab.select(col("id").as("dst"), col("comp").as("b")), "dst")
+          .select("a", "b")
+        val grouped = ConnectedComponents.run(spark,
+          compEdges.select(col("a").as("src"), col("b").as("dst"))
+            .withColumn("weight", lit(1.0)))
+          .withColumnRenamed("id", "comp")
+        // representative = smallest original comp id in each merged group,
+        // so labels stay in the original id space (no collisions)
+        val reps = grouped.join(
+          grouped.groupBy("component").agg(min("comp").as("rep")), "component")
+          .select("comp", "rep")
+        labels = labels.join(reps, Seq("comp"), "left")
+          .select(col("id"), coalesce(col("rep"), col("comp")).as("comp"))
+          .transform(Materialize.checkpoint)
+      }
+    }
+    forest
+  }
+}
+
+/** Luby's maximal independent set (`independentset/Luby.cpp`, SURVEY.md
+  * §2.8 "Spark-feasible if needed"): per round each live node draws a
+  * deterministic priority `xxhash64(id, round)`; nodes that beat every
+  * live neighbor join the set, their neighborhoods leave the graph.
+  * Expected O(log n) rounds.
+  */
+object IndependentSet {
+
+  def luby(spark: SparkSession, edges: DataFrame, seed: Long = 42,
+           maxRounds: Int = 64): DataFrame = {
+    val simple = GraphOps.symmetrize(GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst")))).select("src", "dst")
+    var live = simple.transform(Materialize.checkpoint)
+    var liveNodes = GraphOps.nodes(
+      edges.select("src", "dst").withColumn("weight", lit(1.0)))
+      .transform(Materialize.checkpoint)
+    val winnersAcc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    var remaining = liveNodes.count()
+    while (remaining > 0 && round < maxRounds) {
+      round += 1
+      val prio = liveNodes.select(col("id"),
+        xxhash64(col("id"), lit(seed), lit(round)).as("p"))
+      // a node wins if its (p, id) beats every live neighbor's
+      val nbrBest = live
+        .join(prio.select(col("id").as("src"), col("p").as("ps")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(struct(col("ps").as("p"), col("src").as("id"))).as("nb"))
+      val winners = prio.join(nbrBest, Seq("id"), "left")
+        .where(col("nb").isNull ||
+          struct(col("p"), col("id")) < col("nb"))
+        .select("id")
+        .transform(Materialize.checkpoint)
+      winnersAcc += winners
+      // remove winners and their neighbors
+      val removed = winners.unionByName(
+        live.join(winners.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .select(col("dst").as("id"))).distinct()
+        .transform(Materialize.checkpoint)
+      liveNodes = liveNodes.join(removed, Seq("id"), "left_anti")
+        .transform(Materialize.checkpoint)
+      live = live
+        .join(removed.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(removed.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        .select("src", "dst")
+        .transform(Materialize.checkpoint)
+      remaining = liveNodes.count()
+    }
+    winnersAcc.reduce(_ unionByName _).distinct()
+  }
+}

@@ -79,30 +79,38 @@ object PageRank {
     val nodesP = nodes.repartition(parts, col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // state carries (id, score, prev) so the per-iteration convergence
+    // scalar is a scan over the freshly materialized state — NO extra
+    // old⋈new join job per iteration (halves per-iteration latency; at
+    // web scale that join was a second full shuffle of the rank vector).
     val init = warmStart match {
-      case None => nodesP.select(col("id"), lit(1.0 / n).as("score"))
+      case None => nodesP.select(col("id"), lit(1.0 / n).as("score"),
+        lit(1.0 / n).as("prev"))
       case Some(prev) =>
         val joined = nodesP.join(prev, Seq("id"), "left")
           .select(col("id"), coalesce(col("score"), lit(1.0 / n)).as("score"))
         val total = joined.agg(sum("score")).head().getDouble(0)
-        joined.select(col("id"), (col("score") / total).as("score"))
+        joined.select(col("id"), (col("score") / total).as("score"),
+          (col("score") / total).as("prev"))
     }
 
     def step(state: DataFrame, iter: Int): DataFrame = {
       val contribs = shares
-        .join(state.withColumnRenamed("id", "src"), "src")
+        .join(state.select(col("id").as("src"), col("score")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("share") * col("score")).as("mass"))
-      nodesP.join(contribs, Seq("id"), "left")
+      // state is itself the node universe (preserved by the left join),
+      // so no extra nodes join is needed
+      state.select(col("id"), col("score").as("prevScore"))
+        .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(cfg.damping) * coalesce(col("mass"), lit(0.0)) + lit(teleport))
-            .as("score"))
+            .as("score"),
+          col("prevScore").as("prev"))
     }
 
-    def l2diff(prev: DataFrame, next: DataFrame): Double =
-      math.sqrt(prev.withColumnRenamed("score", "p")
-        .join(next, "id")
-        .agg(sum(pow(col("score") - col("p"), 2)).as("s"))
+    def l2diff(prevState: DataFrame, next: DataFrame): Double =
+      math.sqrt(next.agg(sum(pow(col("score") - col("prev"), 2)).as("s"))
         .head().getDouble(0))
 
     val res: IterResult = IterationDriver.run(spark, init, step, l2diff,
@@ -110,6 +118,12 @@ object PageRank {
 
     val l1 = res.state.agg(sum(abs(col("score")))).head().getDouble(0)
     val scores = res.state.select(col("id"), (col("score") / l1).as("score"))
+      .transform(graft.core.Materialize.checkpoint)
+    // release the per-run cached transition table and node set — repeated
+    // runs in one session must not accumulate block-manager residue
+    shares.unpersist(blocking = false)
+    nodesP.unpersist(blocking = false)
+    graft.core.Materialize.free(res.state)
     Result(scores, res.iterations, res.history)
   }
 }

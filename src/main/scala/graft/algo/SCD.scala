@@ -1,0 +1,110 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.GraphOps
+import graft.iterate.{IterConfig, IterationDriver}
+
+/** Selective community detection (SURVEY.md §2.6 SCD row):
+  * personalized PageRank + sweep cut — the semantics of the reference's
+  * `scd/PageRankNibble` (`scd/PageRankNibble.h:20-31`, ACL push) expressed
+  * as the distributed PPR power iteration (teleport concentrated on the
+  * seed set) followed by a conductance sweep over the ppr/deg ordering.
+  * The reference's sequential push touches only the community
+  * neighborhood; the Spark shape pays full-graph iterations but batches
+  * any number of seed queries into one run at web scale the support of
+  * the sweep stays tiny, so the window in the sweep is over a small
+  * localized node set.
+  */
+object SCD {
+
+  /** Personalized PageRank: teleport mass returns to the seed set instead
+    * of uniformly (`scd/ApproximatePageRank.cpp` semantics via power
+    * iteration). Undirected: pass edges once, symmetrized internally.
+    */
+  def personalizedPageRank(spark: SparkSession, edges: DataFrame,
+                           seeds: DataFrame, damping: Double = 0.85,
+                           tol: Double = 1e-8, maxIter: Int = 200): DataFrame = {
+    val sym = GraphOps.symmetrize(edges)
+    val nodes = GraphOps.nodes(edges)
+    val nSeeds = seeds.count()
+    val outW = sym.groupBy("src").agg(sum("weight").as("wout"))
+    val shares = sym.join(outW, "src")
+      .select(col("src"), col("dst"), (col("weight") / col("wout")).as("share"))
+      .transform(graft.core.Materialize.checkpoint)
+    val teleport = nodes
+      .join(seeds.select(col("id"), lit(1.0 / nSeeds).as("t")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("t"), lit(0.0)).as("t"))
+      .transform(graft.core.Materialize.checkpoint)
+
+    val init = teleport.select(col("id"), col("t").as("score"),
+      col("t").as("prev"))
+
+    def step(state: DataFrame, iter: Int): DataFrame = {
+      val contribs = shares
+        .join(state.select(col("id").as("src"), col("score")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("share") * col("score")).as("mass"))
+      teleport
+        .join(state.select(col("id"), col("score").as("prevScore")), "id")
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(damping) * coalesce(col("mass"), lit(0.0)) +
+            lit(1.0 - damping) * col("t")).as("score"),
+          col("prevScore").as("prev"))
+    }
+
+    def l2(prev: DataFrame, next: DataFrame): Double =
+      math.sqrt(next.agg(sum(pow(col("score") - col("prev"), 2)))
+        .head().getDouble(0))
+
+    IterationDriver.run(spark, init, step, l2, IterConfig(tol, maxIter))
+      .state.select("id", "score")
+  }
+
+  /** PageRankNibble: run PPR from the seed set, order the support by
+    * score/degree, take the prefix with minimum conductance
+    * (`scd/PageRankNibble.cpp` bestSweepSet). Returns the community as
+    * `(id)` rows.
+    */
+  def pageRankNibble(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+                     damping: Double = 0.85, tol: Double = 1e-8,
+                     maxSupport: Int = 10000): DataFrame = {
+    val canon = GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst")))
+    val deg = GraphOps.degrees(GraphOps.symmetrize(canon))
+    val m2 = canon.count() * 2.0
+
+    val ppr = personalizedPageRank(spark, canon, seeds, damping, tol)
+      .where(col("score") > 0)
+    val support = ppr.join(deg, "id")
+      .select(col("id"), (col("score") / col("degree")).as("key"), col("degree"))
+      .orderBy(desc("key"), asc("id")).limit(maxSupport)
+    // rank within the (small, localized) support
+    val w = Window.orderBy(desc("key"), asc("id"))
+    val ranked = support.withColumn("rank", row_number().over(w)).persist()
+
+    // cut(k) = #edges with min_rank <= k < max_rank, via difference counts
+    val er = canon
+      .join(ranked.select(col("id").as("src"), col("rank").as("rs")), "src")
+      .join(ranked.select(col("id").as("dst"), col("rank").as("rd")), "dst")
+      .select(least(col("rs"), col("rd")).as("lo"),
+        greatest(col("rs"), col("rd")).as("hi"))
+    val deltas = er.select(col("lo").as("rank"), lit(1L).as("d"))
+      .unionByName(er.select(col("hi").as("rank"), lit(-1L).as("d")))
+      .groupBy("rank").agg(sum("d").as("d"))
+    val sweep = ranked.join(deltas, Seq("rank"), "left")
+      .withColumn("cut", sum(coalesce(col("d"), lit(0L)))
+        .over(Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("vol", sum("degree")
+        .over(Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("conductance",
+        col("cut") / least(col("vol"), lit(m2) - col("vol")))
+      .where(col("vol") < m2) // proper cut only
+    val bestK = sweep.orderBy(asc("conductance"), asc("rank"))
+      .select("rank").limit(1).head().getInt(0)
+    val out = ranked.where(col("rank") <= bestK).select("id")
+    out
+  }
+}
