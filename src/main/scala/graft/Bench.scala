@@ -42,6 +42,12 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Warmup, discarded (BASELINE.md protocol: first run excluded — JIT +
+    // whole-stage-codegen compilation + cache materialization dominate it;
+    // measured: the first converged PageRank run is ~4× its steady state).
+    PageRank.run(spark, edges, nodes, PageRank.Config(tol = 1e-6, maxIter = 4))
+      .scores.agg(sum("score")).head()
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     results("pagerank") = time {
       val r = PageRank.run(spark, edges, nodes,
@@ -58,6 +64,10 @@ object Bench {
     }
     results("triangles") = time {
       Triangles.globalCount(spark, edges)
+    }
+    results("scc") = time {
+      algo.StronglyConnectedComponents.run(spark, edges)
+        .agg(max("component")).head()
     }
     // relational surface on driver tables
     for (q <- Seq("tri_per_edge", "pr20", "dedup_minhash_pairs", "emb_topk",
@@ -90,20 +100,26 @@ object ScalingBench {
       if (args.length > 3) args(3) else "8")
     val out = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Int, Long, Double)]
     for (cpus <- levels) {
-      val spark = Bench.buildSession(cpus)
-      // partitions = 2x cores: smooths residual skew without drowning the
-      // scheduler in tiny tasks
-      spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
-      val edges = PageGen.edges(spark, n, seed = 42,
-          numPartitions = cpus.toInt * 2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val m = edges.count()
-      val nodes = graft.core.GraphOps.nodes(edges)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      nodes.count()
       var iters = 0
       var medianIterMs = 0.0
-      val times = (0 until (reps + 1)).map { _ =>
+      var m = 0L
+      // Fresh SparkSession (fresh JVM-side Spark state: block manager,
+      // shuffle dirs, broadcast caches) per timed rep — repeated runs in one
+      // session degrade (BASELINE.md r1: 157→330→390 s) from shuffle-dir
+      // growth and block-manager residue, which contaminates medians. Rep 0
+      // is the JIT warmup and is discarded.
+      val times = (0 until (reps + 1)).map { rep =>
+        val spark = Bench.buildSession(cpus)
+        // partitions = 2x cores: smooths residual skew without drowning
+        // the scheduler in tiny tasks
+        spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
+        val edges = PageGen.edges(spark, n, seed = 42,
+            numPartitions = cpus.toInt * 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m = edges.count()
+        val nodes = graft.core.GraphOps.nodes(edges)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        nodes.count()
         val t0 = System.nanoTime()
         val r = PageRank.run(spark, edges, nodes,
           PageRank.Config(tol = 1e-6, maxIter = 100))
@@ -111,15 +127,16 @@ object ScalingBench {
         val ws = r.history.map(_.wallMs).sorted
         medianIterMs = if (ws.nonEmpty) ws(ws.length / 2).toDouble else 0.0
         r.scores.agg(sum("score")).head()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.stop()
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+        dt
       }.drop(1).sorted // discard warmup run
       val median = times(times.length / 2)
       out(cpus) = (median, iters, m, medianIterMs)
       System.err.println(s"local[$cpus]: median=${median}s iters=$iters " +
         s"medianIter=${medianIterMs}ms m=$m times=$times")
-      spark.stop()
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
     }
     val (tN, itN, m0, iterN) = out(levels.head)
     val (t4N, _, _, iter4N) = out(levels.last)

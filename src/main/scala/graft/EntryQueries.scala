@@ -63,6 +63,51 @@ object EntryQueries {
       .where(col("src") =!= col("dst"))
       .withColumn("weight", lit(1.0))
 
+  /** G2 as a DIRECTED graph (no canonicalization) — web link graphs are
+    * directed; SCC runs on this view.
+    */
+  def g2Directed(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_linenumber") === 1 && col("l_quantity") <= 5)
+      .select((col("l_orderkey") % 5000).as("src"),
+        ((col("l_partkey") * 7 + col("l_suppkey")) % 5000).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+  /** G3 mid-density graph (~1.2 edges/node at sf0.01) for k-core — G2 is a
+    * forest at sf0.01 (max coreness 1), too degenerate to exercise peeling.
+    */
+  def g3(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_linenumber") === 1 && col("l_quantity") <= 12)
+      .select((col("l_orderkey") % 2000).as("src"),
+        ((col("l_partkey") * 7 + col("l_suppkey")) % 2000).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .withColumn("weight", lit(1.0))
+
+  /** MSF test graph: block-structured (all edges intra-block, blocks of 50
+    * nodes → components ≤ 50, cyclic and dense within blocks) with DISTINCT
+    * deterministic weights (a bijective scramble of the canonical edge key —
+    * distinct weights make the minimum spanning forest unique, so the edge
+    * set is exactly comparable). Block confinement keeps the oracle's
+    * minimax-path closure (Σ n_c³ work) tractable.
+    */
+  def gMsf(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_linenumber") === 1)
+      .select(((col("l_orderkey") % 40) * 50 +
+        (col("l_partkey") * 7 + col("l_suppkey")) % 50).as("a"),
+        ((col("l_orderkey") % 40) * 50 +
+          (col("l_partkey") * 13 + col("l_suppkey") * 3 + 1) % 50).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
+      .distinct()
+      // bijection on src*2000+dst < 4e6 (7368787 coprime to 4e6) ⇒ distinct
+      .withColumn("weight",
+        (((col("src") * 2000 + col("dst")) * 7368787) % 4000000)
+          .cast("double"))
+
   /** Shared oracle SQL prefix for G1 (WITH-clause body). */
   private val G1SQL =
     """e_raw AS (SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst, l_quantity AS qty FROM lineitem),
@@ -77,6 +122,30 @@ object EntryQueries {
       |es AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v FROM e0 WHERE a <> b),
       |sym2 AS (SELECT u, v FROM es UNION ALL SELECT v AS u, u AS v FROM es),
       |nodes2 AS (SELECT u AS id FROM sym2 GROUP BY 1)""".stripMargin
+
+  /** G2 materialized (DuckDB inlines plain CTEs; deep unrolled chains over
+    * an inlined prefix make its join-order planner go super-linear —
+    * MATERIALIZED keeps planning O(chain length)).
+    */
+  private val G2SQLM =
+    """e0 AS (SELECT l_orderkey % 5000 AS a, (l_partkey*7 + l_suppkey) % 5000 AS b FROM lineitem WHERE l_linenumber = 1 AND l_quantity <= 5),
+      |es AS MATERIALIZED (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v FROM e0 WHERE a <> b),
+      |sym2 AS MATERIALIZED (SELECT u, v FROM es UNION ALL SELECT v AS u, u AS v FROM es),
+      |nodes2 AS MATERIALIZED (SELECT u AS id FROM sym2 GROUP BY 1)""".stripMargin
+
+  private val G3SQL =
+    """f0 AS (SELECT l_orderkey % 2000 AS a, (l_partkey*7 + l_suppkey) % 2000 AS b FROM lineitem WHERE l_linenumber = 1 AND l_quantity <= 12),
+      |fs AS MATERIALIZED (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v FROM f0 WHERE a <> b),
+      |sym3 AS MATERIALIZED (SELECT u, v FROM fs UNION ALL SELECT v AS u, u AS v FROM fs),
+      |nodes3 AS MATERIALIZED (SELECT u AS id FROM sym3 GROUP BY 1)""".stripMargin
+
+  private val GMSFSQL =
+    """m0 AS (SELECT (l_orderkey % 40) * 50 + (l_partkey*7 + l_suppkey) % 50 AS a,
+      |  (l_orderkey % 40) * 50 + (l_partkey*13 + l_suppkey*3 + 1) % 50 AS b
+      |  FROM lineitem WHERE l_linenumber = 1),
+      |ms AS MATERIALIZED (SELECT u, v, CAST(((u*2000+v)*7368787) % 4000000 AS DOUBLE) AS w FROM
+      |  (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v FROM m0 WHERE a <> b)),
+      |msym AS MATERIALIZED (SELECT u, v, w FROM ms UNION ALL SELECT v AS u, u AS v, w FROM ms)""".stripMargin
 
   // ============================================================== queries
   type Q = (SparkSession, String) => DataFrame
@@ -143,6 +212,18 @@ object EntryQueries {
         .groupBy("component").agg(count(lit(1)).as("size"))
         .orderBy("component")),
 
+    // directed SCC (trim + coloring + backward reach); components densely
+    // numbered by ascending min member id, same convention as cc_components.
+    // G2-directed alone is acyclic (all-singleton SCCs — a weak instance),
+    // so back-edges are added for src % 7 = 0 to create genuine directed
+    // cycles the algorithm must find.
+    "scc" -> ((s, d) => {
+      val e = g2Directed(s, d)
+      val aug = e.unionByName(e.where(col("src") % 7 === 0)
+        .select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      graft.algo.StronglyConnectedComponents.run(s, aug).orderBy("id")
+    }),
+
     // ---- BFS ------------------------------------------------------------
     "bfs_hops" -> ((s, d) => {
       val srcId = g2(s, d).agg(least(min("src"), min("dst"))).head().getLong(0)
@@ -162,33 +243,76 @@ object EntryQueries {
         .orderBy("id")
     }),
 
-    // converged at 1e-6 — the engine's real operating point (no SQL oracle:
-    // convergence-dependent iteration count)
+    // converged at 1e-6 — the engine's real operating point. The iteration
+    // count is convergence-dependent, so the full trajectory is not SQL-
+    // replayable; instead the query emits the FIXED-POINT PROPERTIES the
+    // oracle can state independently: node count, L1 mass (= 1 after the
+    // final normalization), a provable residual bound
+    // ‖step(r) − r‖₂ = damp·‖M(r_t − r_{t−1})‖₂ ≤ damp·√n·tol
+    // (M column-stochastic per source), and the argmax node (stable on a
+    // hub-skewed graph; the wiki-Vote golden in the reference pins the same
+    // property, `centrality/test/CentralityGTest.cpp:186-199`).
     "pagerank" -> ((s, d) => {
+      val tol = 1e-6
       val eDir = g1Raw(s, d).select("src", "dst").distinct()
         .withColumn("weight", lit(1.0))
-      PageRank.run(s, eDir, GraphOps.nodes(eDir),
-        PageRank.Config(tol = 1e-6, maxIter = 200))
-        .scores.select(col("id"), round(col("score"), 6).as("score"))
-        .orderBy("id")
+      val nodes = GraphOps.nodes(eDir)
+      val res = PageRank.run(s, eDir, nodes, PageRank.Config(tol = tol, maxIter = 200))
+      val n = res.scores.count()
+      val l1 = res.scores.agg(sum("score")).head().getDouble(0)
+      // one more reference step on the (unnormalized-equivalent) scores:
+      // scores are L1-normalized, and the step map is affine, so the
+      // residual of the normalized vector obeys the same bound scaled by
+      // the (≈1) normalization constant.
+      val outW = eDir.groupBy("src").agg(sum("weight").as("wout"))
+      val shares = eDir.join(outW, "src")
+        .select(col("src"), col("dst"), (col("weight") / col("wout")).as("share"))
+      val contribs = shares
+        .join(res.scores.select(col("id").as("src"), col("score")), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("share") * col("score")).as("mass"))
+      val stepped = res.scores.select(col("id"), col("score"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"), col("score"),
+          (lit(0.85) * coalesce(col("mass"), lit(0.0)) + lit(0.15 / n)).as("next"))
+      val residual = math.sqrt(stepped
+        .agg(sum(pow(col("next") - col("score"), 2))).head().getDouble(0))
+      val bound = 0.85 * math.sqrt(n.toDouble) * tol * 1.01
+      val argmax = res.scores.orderBy(desc("score"), asc("id"))
+        .select("id").limit(1).head().getLong(0)
+      import s.implicits._
+      Seq((n, math.round(l1 * 1e6) / 1e6, residual <= bound, argmax))
+        .toDF("n", "l1", "residual_ok", "argmax_id")
     }),
 
     // ---- community ------------------------------------------------------
+    // pinned schedule: exactly ≤8 red-black sweeps, stop only at a full
+    // fixed point (updateThreshold=0) — the deterministic trajectory the
+    // unrolled DuckDB oracle replays sweep by sweep (extra oracle sweeps
+    // past an early fixed point are no-ops, so the label tables match).
     "plp" -> ((s, d) =>
-      PLP.run(s, g1Simple(s, d)).labels.orderBy("id")),
+      PLP.run(s, g1Simple(s, d),
+        cfg = PLP.Config(updateThreshold = 0, maxIter = 8))
+        .labels.orderBy("id")),
 
     "kcore" -> ((s, d) =>
-      Centrality.coreDecomposition(s, g2(s, d)).orderBy("id")),
+      Centrality.coreDecomposition(s, g3(s, d)).orderBy("id")),
 
-    // ---- community: PLM (multilevel Louvain; rows-only — async-free but
-    // iterative) ---------------------------------------------------------
+    // ---- community: PLM move phase — fixed 4-pass red-black schedule on
+    // one level, exactly replayed by the unrolled oracle (multilevel
+    // contraction + prolongation is covered by quality-parity unit tests;
+    // its level count is data-dependent and so not SQL-replayable)
     "plm" -> ((s, d) =>
-      graft.algo.PLM.run(s, g1Simple(s, d)).labels.orderBy("id")),
+      graft.algo.PLM.run(s, g1Simple(s, d),
+        graft.algo.PLM.Config(maxMovePasses = 4, maxLevels = 1,
+          stopEarly = false))
+        .labels.orderBy("id")),
 
-    // ---- ANF effective diameter (sketch-based; rows-only) ---------------
+    // ---- effective diameter: exact neighborhood-function value (the ANF
+    // sketch estimate is validated against this exact value in unit tests;
+    // the query emits the exact number so the oracle can recompute it) ----
     "anf_diameter" -> ((s, d) => {
       import s.implicits._
-      Seq(graft.algo.Anf.effectiveDiameter(s, g2(s, d), r = 16))
+      Seq(graft.algo.Anf.exactEffectiveDiameter(s, g2(s, d)))
         .toDF("effective_diameter")
     }),
 
@@ -218,24 +342,72 @@ object EntryQueries {
         .orderBy("id")
     }),
 
-    // ---- spanning forest / MIS / betweenness / SCD (rows-only) ----------
+    // ---- spanning forest / MIS / betweenness / SCD ----------------------
+    // distinct weights (gMsf) ⇒ unique MSF ⇒ the edge set is exactly the
+    // cut-property set the oracle derives from minimax path weights
     "msf" -> ((s, d) =>
-      graft.algo.SpanningForest.minimumSpanningForest(s, g2(s, d))
+      graft.algo.SpanningForest.minimumSpanningForest(s, gMsf(s, d))
         .select(col("src"), col("dst")).orderBy("src", "dst")),
 
     "luby_mis" -> ((s, d) =>
       graft.algo.IndependentSet.luby(s, g2(s, d)).orderBy("id")),
 
-    "betweenness" -> ((s, d) =>
-      graft.algo.Betweenness.sampled(s, g2(s, d), nSources = 16)
+    // 16 lowest-id sources (deterministic + oracle-expressible), no
+    // sampling extrapolation — raw dependency sums comparable exactly
+    "betweenness" -> ((s, d) => {
+      val sources = GraphOps.nodes(g2(s, d)).orderBy("id").limit(16)
+      graft.algo.Betweenness.forSources(s, g2(s, d), sources,
+        scaleToFullGraph = false)
         .select(col("id"), round(col("score"), 6).as("score"))
-        .orderBy("id")),
+        .orderBy("id")
+    }),
 
+    // fixed 40 PPR iterations (no early stop) so the DuckDB oracle can
+    // replay the identical trajectory + sweep cut
     "scd_nibble" -> ((s, d) => {
       import s.implicits._
       val seed = GraphOps.nodes(g2(s, d)).agg(min("id")).head().getLong(0)
-      graft.algo.SCD.pageRankNibble(s, g2(s, d), Seq(seed).toDF("id"))
+      graft.algo.SCD.pageRankNibble(s, g2(s, d), Seq(seed).toDF("id"),
+        exactIters = Some(40))
         .orderBy("id")
+    }),
+
+    // ---- sparsification depth -------------------------------------------
+    "es_scan" -> ((s, d) =>
+      graft.algo.EdgeScores.scanStructuralSimilarity(s, g1Simple(s, d))
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
+        .orderBy("src", "dst")),
+
+    "es_local_sim" -> ((s, d) =>
+      graft.algo.EdgeScores.localSimilarity(s, g1Simple(s, d))
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
+        .orderBy("src", "dst")),
+
+    "es_multiscale" -> ((s, d) =>
+      graft.algo.EdgeScores.multiscale(s, g1Canon(s, d))
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
+        .orderBy("src", "dst")),
+
+    // quadrangles (4-cycles) per edge on the mid-density G3
+    "tri4_per_edge" -> ((s, d) =>
+      Triangles.quadranglesPerEdge(s, g3(s, d)).orderBy("src", "dst")),
+
+    // ---- distance: exact diameter + top-k closeness ---------------------
+    "diameter" -> ((s, d) => {
+      import s.implicits._
+      val ecc = SSSP.eccentricity(s, g2(s, d), GraphOps.nodes(g2(s, d)))
+      Seq(ecc.agg(max("eccentricity")).head().getLong(0)).toDF("diameter")
+    }),
+
+    "top_closeness" -> ((s, d) => {
+      val w = Window.orderBy(desc("closeness"), asc("id"))
+      graft.algo.Closeness.forSources(s, g2(s, d), GraphOps.nodes(g2(s, d)))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(col("rank"), col("id"),
+          round(col("closeness"), 6).as("closeness"),
+          round(col("harmonic"), 6).as("harmonic"))
+        .orderBy("rank")
     }),
 
     // ---- quality metrics ------------------------------------------------
@@ -265,6 +437,50 @@ object EntryQueries {
         .select(round(col("c"), 6).as("conductance"))
     }),
 
+    // partition evaluation suite on G1 with the id%10 partition
+    "q_partition_eval" -> ((s, d) => {
+      import s.implicits._
+      val edges = g1Canon(s, d)
+      val labels = GraphOps.nodes(edges)
+        .select(col("id"), (col("id") % 10).as("label"))
+      val pe = graft.quality.PartitionEval
+      def uavg(v: DataFrame): Double =
+        v.agg(avg("value")).head().getDouble(0)
+      Seq((
+        uavg(pe.intrapartitionDensity(edges, labels)),
+        pe.intrapartitionDensityGlobal(s, edges, labels),
+        uavg(pe.isolatedInterpartitionConductance(edges, labels)),
+        uavg(pe.isolatedInterpartitionExpansion(edges, labels)),
+        uavg(pe.partitionHubDominance(edges, labels)),
+        uavg(pe.stablePartitionNodes(edges, labels))))
+        .toDF("r0", "r1", "r2", "r3", "r4", "r5")
+        .select(round(col("r0"), 6).as("ipd_avg"),
+          round(col("r1"), 6).as("ipd_global"),
+          round(col("r2"), 6).as("iic_avg"),
+          round(col("r3"), 6).as("iie_avg"),
+          round(col("r4"), 6).as("hub_avg"),
+          round(col("r5"), 6).as("stable_avg"))
+    }),
+
+    // fragmentation needs a fragmented graph: G2 with the id%7 partition
+    "q_partition_frag" -> ((s, d) => {
+      val labels = GraphOps.nodes(g2(s, d))
+        .select(col("id"), (col("id") % 7).as("label"))
+      graft.quality.PartitionEval
+        .partitionFragmentation(s, g2(s, d), labels)
+        .select(col("label"), round(col("value"), 6).as("value"))
+        .orderBy("label")
+    }),
+
+    "q_adjusted_rand" -> ((s, d) => {
+      val nodes = GraphOps.nodes(g1Canon(s, d))
+      val pa = nodes.select(col("id"), (col("id") % 10).as("label"))
+      val pb = nodes.select(col("id"), (col("id") % 7).as("label"))
+      import s.implicits._
+      Seq(graft.quality.PartitionEval.adjustedRandDissimilarity(s, pa, pb))
+        .toDF("r").select(round(col("r"), 6).as("adjusted_rand_dissimilarity"))
+    }),
+
     "q_partition_compare" -> ((s, d) => {
       val nodes = GraphOps.nodes(g1Canon(s, d))
       val pa = nodes.select(col("id"), (col("id") % 10).as("label"))
@@ -290,6 +506,45 @@ object EntryQueries {
       LinkPrediction.adamicAdar(s, g1Simple(s, d), maxNodeId = 100)
         .select(col("a"), col("b"), round(col("aa"), 6).as("aa"))
         .orderBy("a", "b")),
+
+    "lp_resource_alloc" -> ((s, d) =>
+      LinkPrediction.resourceAllocation(s, g1Simple(s, d), maxNodeId = 100)
+        .select(col("a"), col("b"), round(col("ra"), 6).as("ra"))
+        .orderBy("a", "b")),
+
+    "lp_total_neighbors" -> ((s, d) =>
+      LinkPrediction.totalNeighbors(s, g1Simple(s, d), maxNodeId = 100)
+        .orderBy("a", "b")),
+
+    "lp_neighborhood_dist" -> ((s, d) =>
+      LinkPrediction.neighborhoodDistance(s, g1Simple(s, d), maxNodeId = 100)
+        .select(col("a"), col("b"), round(col("nd"), 6).as("nd"))
+        .orderBy("a", "b")),
+
+    // link-prediction evaluation: deterministic 10% held-out split, AA
+    // predictor scored over the full bounded candidate universe (zeros
+    // included), AUC (tie-corrected Mann-Whitney) + precision@100
+    "lp_roc" -> ((s, d) => {
+      val (train, test) = LinkPrediction.trainTestSplit(g1Simple(s, d), 0.1)
+      val n100 = GraphOps.nodes(g1Simple(s, d)).where(col("id") < 100)
+      val cand = n100.select(col("id").as("a"))
+        .join(n100.select(col("id").as("b")), col("a") < col("b"))
+        .join(train.select(col("src").as("a"), col("dst").as("b")),
+          Seq("a", "b"), "left_anti")
+      val aa = LinkPrediction.adamicAdar(s, train, maxNodeId = 100)
+      val preds = cand.join(aa, Seq("a", "b"), "left")
+        .select(col("a"), col("b"), coalesce(col("aa"), lit(0.0)).as("score"))
+      val pos = test.where(col("src") < 100 && col("dst") < 100)
+        .select(col("src").as("a"), col("dst").as("b"))
+      val auc = LinkPrediction.aucRoc(s, preds, pos)
+      val prec = LinkPrediction.precisionAtK(s, preds, pos, 100)
+      val p = pos.join(cand, Seq("a", "b"), "left_semi").count()
+      val nAll = preds.count()
+      import s.implicits._
+      Seq((math.round(auc * 1e6) / 1e6, p, nAll - p,
+        math.round(prec * 1e6) / 1e6))
+        .toDF("auc", "n_pos", "n_neg", "prec_at_100")
+    }),
 
     // ---- text analysis --------------------------------------------------
     "txt_tokens" -> ((s, d) =>
@@ -451,6 +706,354 @@ SELECT id, round(r / norm.l1, 6) AS score FROM p20, norm ORDER BY id""")
     sb.toString
   }
 
+  // ---- generated oracle SQL for the iterative operators ----------------
+  // DuckDB cannot loop, but every pinned-schedule operator unrolls into a
+  // chain of MATERIALIZED CTEs (MATERIALIZED is load-bearing: DuckDB
+  // inlines plain CTEs and its join-order planner goes super-linear past
+  // ~16 chained joins).
+
+  /** G1 prefix with materialized heavy relations (for deep unrolls). */
+  private val G1SQLM =
+    """e_raw AS (SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst, l_quantity AS qty FROM lineitem),
+      |e_simple AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst FROM e_raw WHERE src <> dst),
+      |e_sym AS MATERIALIZED (SELECT src, dst FROM e_simple UNION ALL SELECT dst AS src, src AS dst FROM e_simple),
+      |pnodes AS MATERIALIZED (SELECT src AS id FROM e_sym GROUP BY 1)""".stripMargin
+
+  /** PLP: exact replay of the red-black synchronous schedule, `sweeps`
+    * unrolled sweeps (graft pins updateThreshold=0 + maxIter=sweeps, so an
+    * early Spark stop is a full fixed point and extra oracle sweeps no-op).
+    * Weighted majority = count on the simple graph; tie-break = smallest
+    * label (`community/PLP.cpp:89-92` semantics).
+    */
+  private def plpSql(sweeps: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $G1SQLM,\n")
+    sb.append("lab0 AS MATERIALIZED (SELECT id, id AS label FROM pnodes)")
+    for (t <- 1 to sweeps) {
+      val parity = t % 2
+      sb.append(s""",
+w$t AS MATERIALIZED (
+  SELECT s.dst AS id, l.label AS nlabel, count(*) AS w
+  FROM e_sym s JOIN lab${t - 1} l ON s.src = l.id
+  WHERE s.dst % 2 = $parity GROUP BY 1, 2),
+win$t AS MATERIALIZED (
+  SELECT id, nlabel AS winner FROM (
+    SELECT id, nlabel, row_number() OVER (PARTITION BY id ORDER BY w DESC, nlabel ASC) AS rk
+    FROM w$t) WHERE rk = 1),
+lab$t AS MATERIALIZED (
+  SELECT l.id, coalesce(x.winner, l.label) AS label
+  FROM lab${t - 1} l LEFT JOIN win$t x ON l.id = x.id)""")
+    }
+    sb.append(s"\nSELECT id, label FROM lab$sweeps ORDER BY id")
+    sb.toString
+  }
+
+  /** PLM move phase: exact replay of `passes` red-black delta-argmax passes
+    * (reference delta formula `community/PLM.cpp:140-146`; all affinities /
+    * volumes are integer-valued doubles on the simple graph, so the doubles
+    * are bit-identical across engines).
+    */
+  private def plmSql(passes: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $G1SQLM,\n")
+    sb.append("""volq AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS vol FROM e_sym GROUP BY 1),
+tw AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS w FROM e_simple),
+lab0 AS MATERIALIZED (SELECT id, id AS label FROM pnodes)""")
+    for (p <- 1 to passes) {
+      val parity = p % 2
+      sb.append(s""",
+cv$p AS MATERIALIZED (
+  SELECT l.label, sum(v.vol) AS cvol FROM lab${p - 1} l JOIN volq v ON l.id = v.id GROUP BY 1),
+aff$p AS MATERIALIZED (
+  SELECT s.dst AS id, l.label AS nlabel, CAST(count(*) AS DOUBLE) AS aff
+  FROM e_sym s JOIN lab${p - 1} l ON s.src = l.id
+  WHERE s.dst % 2 = $parity GROUP BY 1, 2),
+cand$p AS MATERIALIZED (
+  SELECT a.id, a.nlabel,
+    (a.aff - coalesce(ac.aff, 0.0)) / tw.w
+      + (((cc.cvol - v.vol) - cd.cvol) * v.vol) / (2 * tw.w * tw.w) AS delta
+  FROM aff$p a
+  JOIN lab${p - 1} l ON a.id = l.id
+  JOIN volq v ON a.id = v.id
+  JOIN cv$p cc ON cc.label = l.label
+  JOIN cv$p cd ON cd.label = a.nlabel
+  LEFT JOIN aff$p ac ON ac.id = a.id AND ac.nlabel = l.label
+  CROSS JOIN tw
+  WHERE a.nlabel <> l.label),
+best$p AS MATERIALIZED (
+  SELECT id, nlabel AS winner FROM (
+    SELECT id, nlabel, delta, row_number() OVER (PARTITION BY id ORDER BY delta DESC, nlabel ASC) AS rk
+    FROM cand$p) WHERE rk = 1 AND delta > 1e-15),
+lab$p AS MATERIALIZED (
+  SELECT l.id, coalesce(b.winner, l.label) AS label
+  FROM lab${p - 1} l LEFT JOIN best$p b ON l.id = b.id)""")
+    }
+    sb.append(s"\nSELECT id, label FROM lab$passes ORDER BY id")
+    sb.toString
+  }
+
+  /** k-core via the h-index fixpoint (Lü et al.: iterating the h-index of
+    * neighbor values from degrees converges exactly to coreness) — an
+    * independent algorithm from graft's ParK-style peel, same answer.
+    */
+  private def kcoreSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $G3SQL,\n")
+    sb.append("c0 AS MATERIALIZED (SELECT u AS id, count(*) AS c FROM sym3 GROUP BY 1)")
+    for (t <- 1 to rounds) {
+      sb.append(s""",
+c$t AS MATERIALIZED (SELECT id, coalesce(max(CASE WHEN nc >= rk THEN rk END), 0) AS c FROM (
+  SELECT s.u AS id, c.c AS nc, row_number() OVER (PARTITION BY s.u ORDER BY c.c DESC) AS rk
+  FROM sym3 s JOIN c${t - 1} c ON s.v = c.id) GROUP BY id)""")
+    }
+    sb.append(s"\nSELECT id, CAST(c AS BIGINT) AS coreness FROM c$rounds ORDER BY id")
+    sb.toString
+  }
+
+  /** Luby MIS: exact replay of graft's md5-keyed rounds (the priority key is
+    * md5('seed|round|id') ++ zero-padded id — identical string ordering in
+    * both engines). Rounds past emptiness are no-ops.
+    */
+  private def lubySql(rounds: Int, seed: Long = 42): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $G2SQLM,\n")
+    sb.append("ln0 AS MATERIALIZED (SELECT id FROM nodes2),\n")
+    sb.append("le0 AS MATERIALIZED (SELECT u, v FROM sym2)")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+p$r AS MATERIALIZED (SELECT id, md5(concat_ws('|', $seed, $r, id)) || lpad(CAST(id AS VARCHAR), 12, '0') AS p FROM ln${r - 1}),
+nb$r AS MATERIALIZED (SELECT e.v AS id, min(p.p) AS nb FROM le${r - 1} e JOIN p$r p ON e.u = p.id GROUP BY 1),
+win$r AS MATERIALIZED (SELECT pr.id FROM p$r pr LEFT JOIN nb$r nb ON pr.id = nb.id WHERE nb.nb IS NULL OR pr.p < nb.nb),
+rem$r AS MATERIALIZED (SELECT id FROM win$r UNION SELECT e.v AS id FROM le${r - 1} e WHERE e.u IN (SELECT id FROM win$r)),
+ln$r AS MATERIALIZED (SELECT id FROM ln${r - 1} WHERE id NOT IN (SELECT id FROM rem$r)),
+le$r AS MATERIALIZED (SELECT u, v FROM le${r - 1} WHERE u NOT IN (SELECT id FROM rem$r) AND v NOT IN (SELECT id FROM rem$r))""")
+    }
+    sb.append("\n" + (1 to rounds).map(r => s"SELECT id FROM win$r")
+      .mkString("", " UNION ", " ORDER BY id"))
+    sb.toString
+  }
+
+  /** MSF via the cut property: with the distinct weights of gMsf, edge e is
+    * in the unique MSF iff its weight equals the minimax path weight between
+    * its endpoints. Minimax distances converge under `rounds` doubling
+    * relaxations (paths up to 2^rounds edges; components are ≤ 50 nodes by
+    * construction).
+    */
+  private def msfSql(rounds: Int = 6): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $GMSFSQL,\n")
+    sb.append("mm0 AS MATERIALIZED (SELECT u, v, w AS mw FROM msym)")
+    for (t <- 1 to rounds) {
+      sb.append(s""",
+mm$t AS MATERIALIZED (
+  SELECT u, v, min(mw) AS mw FROM (
+    SELECT u, v, mw FROM mm${t - 1}
+    UNION ALL
+    SELECT a.u, b.v, greatest(a.mw, b.mw) AS mw
+    FROM mm${t - 1} a JOIN mm${t - 1} b ON a.v = b.u AND a.u <> b.v
+  ) GROUP BY 1, 2)""")
+    }
+    sb.append(s"""
+SELECT e.u AS src, e.v AS dst FROM ms e
+JOIN mm$rounds m ON m.u = e.u AND m.v = e.v AND m.mw = e.w
+ORDER BY src, dst""")
+    sb.toString
+  }
+
+  /** Brandes betweenness from the 16 lowest-id sources: forward sigma by
+    * unrolled BFS levels, backward dependency accumulation level by level
+    * (`centrality/Betweenness.cpp` semantics; levels past the true depth
+    * are empty and no-op).
+    */
+  private def betweennessSql(maxDepth: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $G2SQLM,\n")
+    sb.append("""bsrc AS MATERIALIZED (SELECT id FROM nodes2 ORDER BY id LIMIT 16),
+lvl0 AS MATERIALIZED (SELECT id AS s, id, CAST(1 AS DOUBLE) AS sigma FROM bsrc),
+vis0 AS MATERIALIZED (SELECT s, id FROM lvl0)""")
+    for (l <- 1 to maxDepth) {
+      sb.append(s""",
+lvl$l AS MATERIALIZED (
+  SELECT f.s, e.v AS id, sum(f.sigma) AS sigma
+  FROM lvl${l - 1} f JOIN sym2 e ON e.u = f.id
+  LEFT JOIN vis${l - 1} x ON x.s = f.s AND x.id = e.v
+  WHERE x.id IS NULL
+  GROUP BY 1, 2),
+vis$l AS MATERIALIZED (SELECT s, id FROM vis${l - 1} UNION ALL SELECT s, id FROM lvl$l)""")
+    }
+    // backward: delta at level l from level l+1 (deepest level's delta = 0)
+    sb.append(s""",
+dl$maxDepth AS MATERIALIZED (SELECT s, id, CAST(0 AS DOUBLE) AS delta FROM lvl$maxDepth)""")
+    for (l <- (maxDepth - 1) to 0 by -1) {
+      sb.append(s""",
+dl$l AS MATERIALIZED (
+  SELECT v.s, v.id, coalesce(sum(v.sigma / wn.sigma * (1 + wd.delta)), 0) AS delta
+  FROM lvl$l v
+  LEFT JOIN sym2 e ON e.u = v.id
+  LEFT JOIN lvl${l + 1} wn ON wn.s = v.s AND wn.id = e.v
+  LEFT JOIN dl${l + 1} wd ON wd.s = v.s AND wd.id = e.v
+  GROUP BY 1, 2)""")
+    }
+    sb.append("\n, alld AS (" + (0 to maxDepth).map(l => s"SELECT s, id, delta FROM dl$l")
+      .mkString(" UNION ALL ") + "),\n")
+    sb.append("""bsum AS (SELECT id, sum(delta) / 2 AS score FROM alld WHERE s <> id GROUP BY id)
+SELECT n.id, round(coalesce(b.score, 0), 6) AS score
+FROM nodes2 n LEFT JOIN bsum b ON n.id = b.id ORDER BY n.id""")
+    sb.toString
+  }
+
+  /** PageRankNibble: exact replay of the 40-iteration PPR from the lowest
+    * node id + the conductance sweep over the (rounded) score/degree order.
+    */
+  private def scdSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $G2SQLM,\n")
+    sb.append("""degd AS MATERIALIZED (SELECT u AS id, CAST(count(*) AS DOUBLE) AS deg FROM sym2 GROUP BY 1),
+degl AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM sym2 GROUP BY 1),
+seedn AS MATERIALIZED (SELECT min(id) AS sid FROM nodes2),
+tel AS MATERIALIZED (SELECT n.id, CASE WHEN n.id = s.sid THEN 1.0 ELSE 0.0 END AS t FROM nodes2 n CROSS JOIN seedn s),
+pp0 AS MATERIALIZED (SELECT id, t AS score FROM tel)""")
+    for (k <- 1 to iters) {
+      sb.append(s""",
+pp$k AS MATERIALIZED (
+  SELECT n.id, 0.85 * coalesce(c.mass, 0.0) + (1.0 - 0.85) * n.t AS score
+  FROM tel n LEFT JOIN (
+    SELECT e.v AS id, sum((1.0 / d.deg) * p.score) AS mass
+    FROM sym2 e JOIN pp${k - 1} p ON e.u = p.id JOIN degd d ON e.u = d.id
+    GROUP BY 1) c ON n.id = c.id)""")
+    }
+    sb.append(s""",
+supp AS MATERIALIZED (
+  SELECT p.id, round(p.score / d.deg, 12) AS key, d.deg AS degree
+  FROM pp$iters p JOIN degl d ON p.id = d.id WHERE p.score > 0),
+ranked AS MATERIALIZED (
+  SELECT id, degree, row_number() OVER (ORDER BY key DESC, id ASC) AS rank FROM supp),
+m2 AS (SELECT 2.0 * count(*) AS m FROM es),
+er AS MATERIALIZED (
+  SELECT least(coalesce(ra.rank, rb.rank), coalesce(rb.rank, ra.rank)) AS lo,
+    CASE WHEN ra.rank IS NOT NULL AND rb.rank IS NOT NULL
+      THEN greatest(ra.rank, rb.rank) END AS hi
+  FROM es e
+  LEFT JOIN ranked ra ON e.u = ra.id
+  LEFT JOIN ranked rb ON e.v = rb.id
+  WHERE ra.rank IS NOT NULL OR rb.rank IS NOT NULL),
+deltas AS (
+  SELECT rank, sum(d) AS d FROM (
+    SELECT lo AS rank, 1 AS d FROM er
+    UNION ALL SELECT hi AS rank, -1 AS d FROM er WHERE hi IS NOT NULL)
+  GROUP BY 1),
+sweep AS (
+  SELECT r.rank,
+    sum(coalesce(dd.d, 0)) OVER (ORDER BY r.rank) AS cut,
+    sum(r.degree) OVER (ORDER BY r.rank) AS vol
+  FROM ranked r LEFT JOIN deltas dd ON r.rank = dd.rank),
+cond AS (
+  SELECT rank, CAST(cut AS DOUBLE) / least(CAST(vol AS DOUBLE), m2.m - CAST(vol AS DOUBLE)) AS conductance
+  FROM sweep CROSS JOIN m2 WHERE CAST(vol AS DOUBLE) < m2.m),
+bestk AS (SELECT rank FROM cond ORDER BY conductance ASC, rank ASC LIMIT 1)
+SELECT id FROM ranked WHERE rank <= (SELECT rank FROM bestk) ORDER BY id""")
+    sb.toString
+  }
+
+  /** Exact effective diameter: all-pairs hop distances via bounded
+    * recursive walk, then the smallest h with ≥90% of connected pairs.
+    */
+  private val anfSql: String =
+    s"""WITH RECURSIVE $G2SQL,
+       |walk(s, id, dd) AS (SELECT id, id, 0 FROM nodes2
+       |  UNION SELECT w.s, e.v, w.dd + 1 FROM walk w JOIN sym2 e ON e.u = w.id WHERE w.dd < 64),
+       |dist AS (SELECT s, id, min(dd) AS d FROM walk GROUP BY 1, 2),
+       |hist AS (SELECT d, count(*) AS c FROM dist GROUP BY 1),
+       |cum AS (SELECT d, sum(c) OVER (ORDER BY d) AS cum, sum(c) OVER () AS tot FROM hist)
+       |SELECT CAST(min(d) AS DOUBLE) AS effective_diameter FROM cum WHERE cum >= 0.9 * tot""".stripMargin
+
+  /** IVF ANN: full replay of the md5-seeded 2-round Lloyd quantizer +
+    * nprobe search (centroid coordinates rounded to 9 decimals each round
+    * on both sides, so sum-order float noise cannot flip assignments).
+    */
+  private def ivfSql(nlist: Int = 8, nprobe: Int = 3, k: Int = 5,
+                     rounds: Int = 2): String = {
+    def cosSql(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val sb = new StringBuilder
+    sb.append(s"""WITH vv AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+seedv AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cid, v AS cv FROM
+  (SELECT id, v FROM vv ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nlist)),
+cent0 AS MATERIALIZED (SELECT cid, cv FROM seedv)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+asg$r AS MATERIALIZED (
+  SELECT id, v, cid FROM (
+    SELECT vv.id, vv.v, c.cid,
+      row_number() OVER (PARTITION BY vv.id ORDER BY round(${cosSql("vv.v", "c.cv")}, 9) DESC, c.cid ASC) AS rn
+    FROM vv CROSS JOIN cent${r - 1} c) WHERE rn = 1),
+cent$r AS MATERIALIZED (
+  SELECT cid, list(x ORDER BY pos) AS cv FROM (
+    SELECT cid, pos, round(avg(v[pos]), 9) AS x FROM (
+      SELECT cid, v, unnest(range(1, len(v) + 1)) AS pos FROM asg$r)
+    GROUP BY 1, 2) GROUP BY cid)""")
+    }
+    sb.append(s""",
+cells AS MATERIALIZED (
+  SELECT id, v, cid FROM (
+    SELECT vv.id, vv.v, c.cid,
+      row_number() OVER (PARTITION BY vv.id ORDER BY round(${cosSql("vv.v", "c.cv")}, 9) DESC, c.cid ASC) AS rn
+    FROM vv CROSS JOIN cent$rounds c) WHERE rn = 1),
+qs AS MATERIALIZED (SELECT id AS query_id, v AS qv FROM vv WHERE id < 10),
+probes AS MATERIALIZED (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY round(${cosSql("q.qv", "c.cv")}, 9) DESC, c.cid ASC) AS rn
+    FROM qs q CROSS JOIN cent$rounds c) WHERE rn <= $nprobe),
+scored AS MATERIALIZED (
+  SELECT p.query_id, ce.id AS neighbor_id, ${cosSql("p.qv", "ce.v")} AS cos
+  FROM cells ce JOIN probes p ON ce.cid = p.cid
+  WHERE ce.id <> p.query_id),
+rk AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+FROM rk WHERE rank <= $k ORDER BY query_id, rank""")
+    sb.toString
+  }
+
+  /** Converged-PageRank property oracle: the query emits (n, l1,
+    * residual_ok, argmax_id); the oracle recomputes n and the argmax from
+    * its own 60-iteration unroll (top-rank order stabilizes long before the
+    * 1e-6 stopping point) and states the two invariants (L1 mass 1 after
+    * normalization; the provable residual bound holds).
+    */
+  private def pagerankPropSql(iters: Int = 60): String = {
+    val sb = new StringBuilder
+    sb.append("WITH e_raw AS (SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst FROM lineitem),\n")
+    sb.append("e_dir AS MATERIALIZED (SELECT DISTINCT src, dst FROM e_raw),\n")
+    sb.append("prnodes AS MATERIALIZED (SELECT src AS id FROM e_dir UNION SELECT dst FROM e_dir),\n")
+    sb.append("odeg AS MATERIALIZED (SELECT src AS id, count(*) AS od FROM e_dir GROUP BY 1),\n")
+    sb.append("nn AS MATERIALIZED (SELECT count(*) AS n FROM prnodes),\n")
+    sb.append("p0 AS MATERIALIZED (SELECT id, 1.0/nn.n AS r FROM prnodes, nn)")
+    for (k <- 1 to iters) {
+      sb.append(s""",
+p$k AS MATERIALIZED (SELECT pn.id, 0.85 * coalesce(c.s, 0) + 0.15/nn.n AS r
+  FROM prnodes pn CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst AS id, sum(p.r / od.od) AS s
+    FROM e_dir e JOIN p${k - 1} p ON e.src = p.id JOIN odeg od ON e.src = od.id
+    GROUP BY e.dst) c ON pn.id = c.id)""")
+    }
+    sb.append(s""",
+amax AS (SELECT id FROM p$iters ORDER BY r DESC, id ASC LIMIT 1)
+SELECT (SELECT n FROM nn) AS n, 1.0 AS l1, TRUE AS residual_ok,
+  (SELECT id FROM amax) AS argmax_id""")
+    sb.toString
+  }
+
+  /** SimHash fingerprint CTE chain shared by dedup_simhash{,_pairs}. */
+  private def simhashFpExpr: String =
+    (0 until 16).map(j =>
+      s"(CASE WHEN list_sum(list_transform(h, x -> ((x >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
   /** Docs tokenization fragment (parity with TextOps.tokens). */
   private val TOKS =
     """toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents)"""
@@ -463,7 +1066,7 @@ SELECT id, round(r / norm.l1, 6) AS score FROM p20, norm ORDER BY id""")
       s"""WITH $G1SQL
          |SELECT (SELECT count(*) FROM nodes) AS n,
          |  count(*) AS m,
-         |  sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS self_loops,
+         |  CAST(sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) AS self_loops,
          |  round(sum(weight), 6) AS total_weight,
          |  round(count(*) / ((SELECT count(*) FROM nodes) * ((SELECT count(*) FROM nodes) - 1) / 2.0), 6) AS density
          |FROM e_canon""".stripMargin,
@@ -738,9 +1341,11 @@ SELECT id, round(r / norm.l1, 6) AS score FROM p20, norm ORDER BY id""")
 
     "dedup_jaccard" ->
       s"""WITH $TOKS, $TOKROWS,
-         |sz AS (SELECT doc_id, count(*) AS s FROM tokrows GROUP BY 1),
+         |rare AS (SELECT tok FROM tokrows GROUP BY tok HAVING count(*) <= 10000),
+         |tokf AS (SELECT doc_id, tok FROM tokrows WHERE tok IN (SELECT tok FROM rare)),
+         |sz AS (SELECT doc_id, count(*) AS s FROM tokf GROUP BY 1),
          |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-         |  FROM tokrows x JOIN tokrows y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |  FROM tokf x JOIN tokf y ON x.tok = y.tok AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2)
          |SELECT a, b, round(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
          |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
@@ -778,10 +1383,20 @@ SELECT id, round(r / norm.l1, 6) AS score FROM p20, norm ORDER BY id""")
       s"""WITH $TOKS,
          |hs AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 4))::BIGINT) AS h FROM toks),
          |bits AS (SELECT doc_id, h FROM hs)
-         |SELECT doc_id, ${(0 until 16).map(j =>
-          s"(CASE WHEN list_sum(list_transform(h, x -> ((x >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)")
-          .mkString(" + ")} AS fp
+         |SELECT doc_id, $simhashFpExpr AS fp
          |FROM bits ORDER BY doc_id""".stripMargin,
+
+    // brute-force all-pairs Hamming check — the Spark side's banded
+    // multi-index must have FULL recall (pigeonhole over maxDist+1 bands),
+    // so exact-equality against brute force is the right oracle
+    "dedup_simhash_pairs" ->
+      s"""WITH $TOKS,
+         |hs AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 4))::BIGINT) AS h FROM toks),
+         |fps AS MATERIALIZED (SELECT doc_id, $simhashFpExpr AS fp FROM hs)
+         |SELECT a.doc_id AS a, b.doc_id AS b, CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+         |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY a, b""".stripMargin,
 
     "emb_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -817,7 +1432,263 @@ SELECT id, round(r / norm.l1, 6) AS score FROM p20, norm ORDER BY id""")
     "events_sessions" ->
       """WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),
         |s AS (SELECT user_id, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session FROM l)
-        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
-        |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "es_scan" ->
+      s"""WITH $G1SQL,
+         |tris AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM e_simple e1
+         |  JOIN e_simple e2 ON e1.dst = e2.src
+         |  JOIN e_simple e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |sides AS (SELECT u AS a, v AS b FROM tris UNION ALL
+         |  SELECT u, w FROM tris UNION ALL SELECT v, w FROM tris),
+         |cnt AS (SELECT a AS src, b AS dst, count(*) AS t FROM sides GROUP BY 1,2)
+         |SELECT e.src, e.dst,
+         |  round((coalesce(c.t, 0) + 1) * 1.0 / sqrt((da.degree + 1) * (db.degree + 1)), 6) AS score
+         |FROM e_simple e LEFT JOIN cnt c ON e.src = c.src AND e.dst = c.dst
+         |JOIN deg da ON e.src = da.id JOIN deg db ON e.dst = db.id
+         |ORDER BY e.src, e.dst""".stripMargin,
+
+    "es_local_sim" ->
+      s"""WITH $G1SQL,
+         |tris AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM e_simple e1
+         |  JOIN e_simple e2 ON e1.dst = e2.src
+         |  JOIN e_simple e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |sides AS (SELECT u AS a, v AS b FROM tris UNION ALL
+         |  SELECT u, w FROM tris UNION ALL SELECT v, w FROM tris),
+         |cnt AS (SELECT a AS src, b AS dst, count(*) AS t FROM sides GROUP BY 1,2),
+         |sim AS (SELECT e.src, e.dst,
+         |  coalesce(c.t, 0) * 1.0 / (da.degree + db.degree - coalesce(c.t, 0)) AS s
+         |  FROM e_simple e LEFT JOIN cnt c ON e.src = c.src AND e.dst = c.dst
+         |  JOIN deg da ON e.src = da.id JOIN deg db ON e.dst = db.id),
+         |inc AS (SELECT src AS node, dst AS other, s FROM sim
+         |  UNION ALL SELECT dst AS node, src AS other, s FROM sim),
+         |rk AS (SELECT i.node, i.other, d.degree AS dg,
+         |  row_number() OVER (PARTITION BY i.node ORDER BY i.s DESC, i.other ASC) AS r
+         |  FROM inc i JOIN deg d ON i.node = d.id),
+         |ex AS (SELECT node, other,
+         |  CASE WHEN dg <= 1 THEN 1.0 ELSE 1.0 - ln(r) / ln(dg) END AS e FROM rk)
+         |SELECT least(node, other) AS src, greatest(node, other) AS dst,
+         |  round(max(e), 6) AS score
+         |FROM ex GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+
+    "es_multiscale" ->
+      s"""WITH $G1SQL,
+         |inc AS (SELECT src AS node, dst AS other, weight AS s FROM e_canon WHERE src <> dst
+         |  UNION ALL SELECT dst AS node, src AS other, weight AS s FROM e_canon WHERE src <> dst),
+         |pn AS (SELECT node, sum(s) AS ssum, count(*) AS d FROM inc GROUP BY 1),
+         |pr AS (SELECT i.node, i.other,
+         |  1.0 - pow(1.0 - i.s / p.ssum, p.d - 1) AS p
+         |  FROM inc i JOIN pn p ON i.node = p.node)
+         |SELECT least(node, other) AS src, greatest(node, other) AS dst,
+         |  round(max(p), 6) AS score
+         |FROM pr GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+
+    "tri4_per_edge" ->
+      s"""WITH $G3SQL,
+         |cnt4 AS (SELECT least(a.u, c.v) AS src, greatest(a.u, c.v) AS dst,
+         |  CAST(count(*) / 2 AS BIGINT) AS quads
+         |  FROM sym3 a JOIN sym3 b ON b.u = a.v JOIN sym3 c ON c.u = b.v
+         |  WHERE a.v <> c.v AND b.v <> a.u AND a.u <> c.v
+         |  GROUP BY 1, 2)
+         |SELECT f.u AS src, f.v AS dst, coalesce(q.quads, 0) AS quads
+         |FROM fs f LEFT JOIN cnt4 q ON f.u = q.src AND f.v = q.dst
+         |ORDER BY src, dst""".stripMargin,
+
+    "diameter" ->
+      s"""WITH RECURSIVE $G2SQL,
+         |walk(s, id, dd) AS (SELECT id, id, 0 FROM nodes2
+         |  UNION SELECT w.s, e.v, w.dd + 1 FROM walk w JOIN sym2 e ON e.u = w.id WHERE w.dd < 64),
+         |dist AS (SELECT s, id, min(dd) AS d FROM walk GROUP BY 1, 2)
+         |SELECT CAST(max(d) AS BIGINT) AS diameter FROM dist""".stripMargin,
+
+    "top_closeness" ->
+      s"""WITH RECURSIVE $G2SQL,
+         |walk(s, id, dd) AS (SELECT id, id, 0 FROM nodes2
+         |  UNION SELECT w.s, e.v, w.dd + 1 FROM walk w JOIN sym2 e ON e.u = w.id WHERE w.dd < 64),
+         |dist AS (SELECT s, id, min(dd) AS d FROM walk GROUP BY 1, 2),
+         |cl AS (SELECT s AS id, count(*) * 1.0 / sum(d) AS closeness,
+         |  sum(1.0 / d) AS harmonic FROM dist WHERE d > 0 GROUP BY s),
+         |rk AS (SELECT row_number() OVER (ORDER BY closeness DESC, id ASC) AS rank,
+         |  id, closeness, harmonic FROM cl)
+         |SELECT rank, id, round(closeness, 6) AS closeness, round(harmonic, 6) AS harmonic
+         |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q_partition_eval" ->
+      s"""WITH $G1SQL,
+         |lab AS (SELECT id, id % 10 AS label FROM nodes),
+         |szs AS (SELECT label, count(*) AS size FROM lab GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |j AS (SELECT e.src, e.dst, e.weight, la.label AS l1, lb.label AS l2
+         |  FROM e_canon e JOIN lab la ON e.src = la.id JOIN lab lb ON e.dst = lb.id),
+         |intra AS (SELECT l1 AS label, count(*) AS m FROM j WHERE l1 = l2 AND src <> dst GROUP BY 1),
+         |ipd AS (SELECT s.label,
+         |  CASE WHEN s.size * (s.size - 1) / 2 > 0
+         |    THEN coalesce(i.m, 0) * 1.0 / (s.size * (s.size - 1) / 2) ELSE 1.0 END AS v
+         |  FROM szs s LEFT JOIN intra i ON s.label = i.label),
+         |ipdg AS (SELECT sum(coalesce(i.m, 0)) * 1.0 / sum(s.size * (s.size - 1) / 2) AS v
+         |  FROM szs s LEFT JOIN intra i ON s.label = i.label),
+         |cut AS (SELECT label, sum(w) AS cut FROM (
+         |  SELECT l1 AS label, weight AS w FROM j WHERE l1 <> l2
+         |  UNION ALL SELECT l2 AS label, weight AS w FROM j WHERE l1 <> l2) GROUP BY 1),
+         |vol AS (SELECT label, sum(w) AS vol FROM (
+         |  SELECT l1 AS label, weight AS w FROM j
+         |  UNION ALL SELECT l2 AS label, weight AS w FROM j) GROUP BY 1),
+         |tv AS (SELECT sum(weight) * 2 AS t FROM e_canon),
+         |iic AS (SELECT s.label,
+         |  CASE WHEN least(coalesce(v.vol, 0), tv.t - coalesce(v.vol, 0)) > 0
+         |    THEN coalesce(c.cut, 0) / least(coalesce(v.vol, 0), tv.t - coalesce(v.vol, 0))
+         |    ELSE 0.0 END AS v
+         |  FROM szs s LEFT JOIN vol v ON s.label = v.label
+         |  LEFT JOIN cut c ON s.label = c.label CROSS JOIN tv),
+         |iie AS (SELECT s.label,
+         |  coalesce(c.cut, 0) / least(s.size, nn.n - s.size) AS v
+         |  FROM szs s LEFT JOIN cut c ON s.label = c.label CROSS JOIN nn),
+         |ideg AS (SELECT x.src AS id, la.label, count(*) AS idg FROM (
+         |    SELECT src, dst FROM e_canon WHERE src <> dst
+         |    UNION ALL SELECT dst, src FROM e_canon WHERE src <> dst) x
+         |  JOIN lab la ON x.src = la.id JOIN lab lb ON x.dst = lb.id
+         |  WHERE la.label = lb.label GROUP BY 1, 2),
+         |hub AS (SELECT s.label,
+         |  CASE WHEN s.size > 1 THEN coalesce(m.mx, 0) * 1.0 / (s.size - 1) ELSE 1.0 END AS v
+         |  FROM szs s LEFT JOIN (SELECT label, max(idg) AS mx FROM ideg GROUP BY 1) m
+         |  ON s.label = m.label),
+         |wsymq AS (SELECT src, dst, weight FROM e_canon
+         |  UNION ALL SELECT dst, src, weight FROM e_canon WHERE src <> dst),
+         |nbw AS (SELECT w.src AS id, lb.label AS nl, sum(w.weight) AS wt
+         |  FROM wsymq w JOIN lab lb ON w.dst = lb.id WHERE w.src <> w.dst GROUP BY 1, 2),
+         |ownw AS (SELECT n.id, n.wt FROM nbw n JOIN lab l ON n.id = l.id AND n.nl = l.label),
+         |otherw AS (SELECT n.id, max(n.wt) AS wt FROM nbw n JOIN lab l ON n.id = l.id
+         |  WHERE n.nl <> l.label GROUP BY 1),
+         |stab AS (SELECT l.id, l.label,
+         |  CASE WHEN nd.id IS NULL THEN TRUE
+         |    ELSE coalesce(o.wt, 0) > 0 AND coalesce(t.wt, 0) < coalesce(o.wt, 0) END AS st
+         |  FROM lab l
+         |  LEFT JOIN (SELECT DISTINCT id FROM nbw) nd ON l.id = nd.id
+         |  LEFT JOIN ownw o ON l.id = o.id LEFT JOIN otherw t ON l.id = t.id),
+         |stv AS (SELECT label, sum(CASE WHEN st THEN 1 ELSE 0 END) * 1.0 / count(*) AS v
+         |  FROM stab GROUP BY 1)
+         |SELECT round((SELECT avg(v) FROM ipd), 6) AS ipd_avg,
+         |  round((SELECT v FROM ipdg), 6) AS ipd_global,
+         |  round((SELECT avg(v) FROM iic), 6) AS iic_avg,
+         |  round((SELECT avg(v) FROM iie), 6) AS iie_avg,
+         |  round((SELECT avg(v) FROM hub), 6) AS hub_avg,
+         |  round((SELECT avg(v) FROM stv), 6) AS stable_avg""".stripMargin,
+
+    "q_partition_frag" ->
+      s"""WITH RECURSIVE $G2SQL,
+         |lab AS (SELECT id, id % 7 AS label FROM nodes2),
+         |reach(id, r) AS (SELECT id, id FROM nodes2
+         |  UNION SELECT reach.id, s.v FROM reach JOIN sym2 s ON s.u = reach.r),
+         |comp AS (SELECT id, min(r) AS cmin FROM reach GROUP BY id),
+         |inter AS (SELECT l.label, c.cmin, count(*) AS fsize
+         |  FROM lab l JOIN comp c ON l.id = c.id GROUP BY 1, 2),
+         |largest AS (SELECT label, max(fsize) AS lg FROM inter GROUP BY 1),
+         |szs AS (SELECT label, count(*) AS size FROM lab GROUP BY 1)
+         |SELECT s.label, round(1.0 - coalesce(l.lg, 0) * 1.0 / s.size, 6) AS value
+         |FROM szs s LEFT JOIN largest l ON s.label = l.label
+         |ORDER BY s.label""".stripMargin,
+
+    "q_adjusted_rand" ->
+      s"""WITH $G1SQL,
+         |cont AS (SELECT id % 10 AS x, id % 7 AS y, count(*) AS n FROM nodes GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cont),
+         |ri AS (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS s FROM cont),
+         |sa AS (SELECT CAST(sum(s * (s - 1) / 2) AS BIGINT) AS s FROM (SELECT sum(n) AS s FROM cont GROUP BY x) t),
+         |sb AS (SELECT CAST(sum(s * (s - 1) / 2) AS BIGINT) AS s FROM (SELECT sum(n) AS s FROM cont GROUP BY y) t),
+         |calc AS (SELECT 0.5 * (sa.s + sb.s) AS maxidx,
+         |  CAST((sa.s * sb.s) // (tot.nn * (tot.nn - 1) // 2) AS DOUBLE) AS expidx,
+         |  ri.s AS ridx FROM sa, sb, tot, ri)
+         |SELECT round(CASE WHEN maxidx = 0 OR maxidx = expidx THEN 0.0
+         |  ELSE 1.0 - (ridx - expidx) / (maxidx - expidx) END, 6) AS adjusted_rand_dissimilarity
+         |FROM calc""".stripMargin,
+
+    "lp_resource_alloc" ->
+      s"""WITH $G1SQL,
+         |b AS (SELECT src AS node, dst AS nbr FROM e_sym WHERE src < 100)
+         |SELECT x.node AS a, y.node AS b, round(sum(1.0 / d.degree), 6) AS ra
+         |FROM b x JOIN b y ON x.nbr = y.nbr AND x.node < y.node
+         |JOIN deg d ON x.nbr = d.id
+         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+
+    "lp_total_neighbors" ->
+      s"""WITH $G1SQL,
+         |b AS (SELECT src AS node, dst AS nbr FROM e_sym WHERE src < 100),
+         |cn AS (SELECT x.node AS a, y.node AS b, count(*) AS c
+         |  FROM b x JOIN b y ON x.nbr = y.nbr AND x.node < y.node GROUP BY 1, 2)
+         |SELECT cn.a, cn.b, da.degree + db.degree - cn.c AS tn
+         |FROM cn JOIN deg da ON cn.a = da.id JOIN deg db ON cn.b = db.id
+         |ORDER BY a, b""".stripMargin,
+
+    "lp_neighborhood_dist" ->
+      s"""WITH $G1SQL,
+         |b AS (SELECT src AS node, dst AS nbr FROM e_sym WHERE src < 100),
+         |cn AS (SELECT x.node AS a, y.node AS b, count(*) AS c
+         |  FROM b x JOIN b y ON x.nbr = y.nbr AND x.node < y.node GROUP BY 1, 2)
+         |SELECT cn.a, cn.b, round(cn.c * 1.0 / sqrt(da.degree * db.degree), 6) AS nd
+         |FROM cn JOIN deg da ON cn.a = da.id JOIN deg db ON cn.b = db.id
+         |ORDER BY a, b""".stripMargin,
+
+    "lp_roc" ->
+      s"""WITH $G1SQL,
+         |tt AS (SELECT src, dst,
+         |  ('0x' || substr(md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)), 1, 2))::INT AS bucket
+         |  FROM e_simple),
+         |train AS (SELECT src, dst FROM tt WHERE bucket >= 25),
+         |tst AS (SELECT src, dst FROM tt WHERE bucket < 25),
+         |n100 AS (SELECT id FROM (SELECT src AS id FROM e_sym GROUP BY 1) WHERE id < 100),
+         |cand AS (SELECT a.id AS a, b.id AS b FROM n100 a JOIN n100 b ON a.id < b.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM train t WHERE t.src = a.id AND t.dst = b.id)),
+         |tsym AS (SELECT src, dst FROM train UNION ALL SELECT dst AS src, src AS dst FROM train),
+         |tdeg AS (SELECT src AS id, count(*) AS degree FROM tsym GROUP BY 1),
+         |bb AS (SELECT src AS node, dst AS nbr FROM tsym WHERE src < 100),
+         |aa AS (SELECT x.node AS a, y.node AS b, sum(1.0 / ln(d.degree)) AS aa
+         |  FROM bb x JOIN bb y ON x.nbr = y.nbr AND x.node < y.node
+         |  JOIN tdeg d ON x.nbr = d.id GROUP BY 1, 2),
+         |preds AS (SELECT c.a, c.b, coalesce(aa.aa, 0.0) AS score
+         |  FROM cand c LEFT JOIN aa ON c.a = aa.a AND c.b = aa.b),
+         |pos AS (SELECT src AS a, dst AS b FROM tst WHERE src < 100 AND dst < 100),
+         |labp AS (SELECT p.score, CASE WHEN x.a IS NOT NULL THEN 1 ELSE 0 END AS pos
+         |  FROM preds p LEFT JOIN pos x ON p.a = x.a AND p.b = x.b),
+         |hist AS (SELECT score, sum(pos) AS np, sum(1 - pos) AS nn FROM labp GROUP BY 1),
+         |cumh AS (SELECT score, np, nn,
+         |  coalesce(sum(nn) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negBelow
+         |  FROM hist),
+         |agg AS (SELECT sum(np * (negBelow + nn / 2.0)) AS num,
+         |  CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS n FROM cumh),
+         |top100 AS (SELECT a, b FROM preds ORDER BY score DESC, a ASC, b ASC LIMIT 100),
+         |prec AS (SELECT count(*) / 100.0 AS pr FROM top100 t
+         |  JOIN pos x ON t.a = x.a AND t.b = x.b)
+         |SELECT round(agg.num / (agg.p * agg.n), 6) AS auc,
+         |  agg.p AS n_pos, agg.n AS n_neg,
+         |  round(prec.pr, 6) AS prec_at_100
+         |FROM agg, prec""".stripMargin,
+
+    // SCC ground truth via mutual-reachability closure (recursive CTE):
+    // scc(u) keyed by its minimum member, densely renumbered
+    "scc" ->
+      """WITH RECURSIVE e0 AS (SELECT l_orderkey % 5000 AS a, (l_partkey*7 + l_suppkey) % 5000 AS b FROM lineitem WHERE l_linenumber = 1 AND l_quantity <= 5),
+        |ed0 AS (SELECT DISTINCT a AS u, b AS v FROM e0 WHERE a <> b),
+        |ed AS (SELECT u, v FROM ed0 UNION SELECT v AS u, u AS v FROM ed0 WHERE u % 7 = 0),
+        |nodesd AS (SELECT u AS id FROM ed UNION SELECT v FROM ed),
+        |reach(u, v) AS (SELECT u, v FROM ed
+        |  UNION SELECT r.u, e.v FROM reach r JOIN ed e ON e.u = r.v),
+        |pairs AS (SELECT r1.u, r1.v FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u),
+        |grp AS (SELECT n.id, least(n.id, coalesce(min(p.v), n.id)) AS mid
+        |  FROM nodesd n LEFT JOIN pairs p ON p.u = n.id GROUP BY n.id)
+        |SELECT id, CAST(dense_rank() OVER (ORDER BY mid) - 1 AS BIGINT) AS component
+        |FROM grp ORDER BY id""".stripMargin,
+
+    // ---- unrolled iterative oracles (round 2) ---------------------------
+    "plp" -> plpSql(8),
+    "plm" -> plmSql(4),
+    "kcore" -> kcoreSql(48),
+    "luby_mis" -> lubySql(16),
+    "msf" -> msfSql(6),
+    "betweenness" -> betweennessSql(40),
+    "scd_nibble" -> scdSql(40),
+    "anf_diameter" -> anfSql,
+    "pagerank" -> pagerankPropSql(60),
+    "emb_ivf_topk" -> ivfSql(nlist = 8, nprobe = 3, k = 5, rounds = 2)
   )
 }

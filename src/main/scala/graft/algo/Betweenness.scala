@@ -20,9 +20,29 @@ import graft.core.{GraphOps, Materialize}
   */
 object Betweenness {
 
+  /** Brandes from a deterministic hash-chosen source sample
+    * (`ApproxBetweenness2.cpp` shape).
+    */
   def sampled(spark: SparkSession, edges: DataFrame, nSources: Int,
               seed: Long = 42, directed: Boolean = false,
               maxDepth: Int = 100, normalized: Boolean = false): DataFrame = {
+    val nodes = GraphOps.nodes(edges.where(col("src") =!= col("dst"))
+      .select("src", "dst").withColumn("weight", lit(1.0)))
+    val sources = nodes
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(nSources)
+      .select("id")
+    forSources(spark, edges, sources, directed, maxDepth, normalized,
+      scaleToFullGraph = true)
+  }
+
+  /** Brandes from an explicit source set; `scaleToFullGraph` multiplies the
+    * dependency sums by n/|S| (the sampling estimator).
+    */
+  def forSources(spark: SparkSession, edges: DataFrame, sourceIds: DataFrame,
+                 directed: Boolean = false, maxDepth: Int = 100,
+                 normalized: Boolean = false,
+                 scaleToFullGraph: Boolean = true): DataFrame = {
     val base = edges.where(col("src") =!= col("dst"))
     val adj = (if (directed) base.select("src", "dst").distinct()
       else GraphOps.symmetrize(GraphOps.canonicalizeUnweighted(base))
@@ -31,10 +51,8 @@ object Betweenness {
     val nodes = GraphOps.nodes(base.select("src", "dst")
       .withColumn("weight", lit(1.0)))
     val n = nodes.count()
-    val sources = nodes
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(math.min(nSources.toLong, n).toInt)
-      .select(col("id").as("source"))
+    val nSources = sourceIds.count()
+    val sources = sourceIds.select(col("id").as("source"))
 
     // ---- forward: (source, id, dist, sigma) --------------------------
     var frontier = sources.select(col("source"), col("source").as("id"),
@@ -84,7 +102,9 @@ object Betweenness {
     }
 
     val scale0 = if (directed) 1.0 else 2.0
-    val sampleScale = n.toDouble / math.min(nSources.toLong, n).toDouble
+    val sampleScale =
+      if (scaleToFullGraph) n.toDouble / math.min(nSources, n).toDouble
+      else 1.0
     val raw = delta.where(col("source") =!= col("id"))
       .groupBy("id").agg((sum("delta") / scale0 * sampleScale).as("score"))
     val full = nodes.join(raw, Seq("id"), "left")

@@ -57,14 +57,23 @@ object ConnectedComponents {
     def changedCount(prev: DataFrame, next: DataFrame): Double =
       next.where(col("changed")).count().toDouble
 
-    val maxThisLevel = if (depth == 0) cfg.coarsenAfter else cfg.maxIter
+    // Every level gets a bounded sweep budget, then contracts and recurses
+    // until its contraction converges — min-label propagation moves one hop
+    // per sweep, so a fixed per-level cap alone would silently return wrong
+    // labels on graphs whose (contracted) diameter exceeds it (long chains /
+    // crawler traps). Contraction shrinks the graph geometrically whenever
+    // any label changed, so the recursion depth stays O(log diameter).
+    val maxThisLevel = math.max(cfg.coarsenAfter, 2)
     val res = IterationDriver.run(spark, init, step, changedCount,
       IterConfig(tol = 0.0, maxIter = maxThisLevel,
         checkpointDir = cfg.checkpointDir.map(d => s"$d/level=$depth")))
 
     val labels = res.state.select("id", "label")
     val converged = res.history.lastOption.forall(_.metric == 0.0)
-    if (converged || depth > 0) labels
+    if (converged) labels
+    else if (depth >= cfg.maxIter)
+      throw new IllegalStateException(
+        s"ConnectedComponents: contraction depth $depth without convergence")
     else {
       // contract: vertices = current labels, edges = distinct label pairs
       val l = labels.persist(StorageLevel.MEMORY_AND_DISK)

@@ -1,6 +1,6 @@
 package graft.algo
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{GraphOps, Materialize}
 
@@ -111,11 +111,19 @@ object SpanningForest {
 
 /** Luby's maximal independent set (`independentset/Luby.cpp`, SURVEY.md
   * §2.8 "Spark-feasible if needed"): per round each live node draws a
-  * deterministic priority `xxhash64(id, round)`; nodes that beat every
+  * deterministic priority — `md5(seed|round|id)` concatenated with the
+  * zero-padded id into one totally-ordered string key (md5 rather than
+  * xxhash64 so the DuckDB oracle can replay the exact run; lexicographic
+  * compare of lowercase hex is engine-independent). Nodes that beat every
   * live neighbor join the set, their neighborhoods leave the graph.
   * Expected O(log n) rounds.
   */
 object IndependentSet {
+
+  /** The per-round total-order priority key of node `idCol`. */
+  def priorityKey(idCol: Column, seed: Long, round: Int): Column =
+    concat(md5(concat_ws("|", lit(seed), lit(round), idCol)),
+      lpad(idCol.cast("string"), 12, "0"))
 
   def luby(spark: SparkSession, edges: DataFrame, seed: Long = 42,
            maxRounds: Int = 64): DataFrame = {
@@ -131,15 +139,14 @@ object IndependentSet {
     while (remaining > 0 && round < maxRounds) {
       round += 1
       val prio = liveNodes.select(col("id"),
-        xxhash64(col("id"), lit(seed), lit(round)).as("p"))
-      // a node wins if its (p, id) beats every live neighbor's
+        priorityKey(col("id"), seed, round).as("p"))
+      // a node wins if its key beats every live neighbor's
       val nbrBest = live
         .join(prio.select(col("id").as("src"), col("p").as("ps")), "src")
         .groupBy(col("dst").as("id"))
-        .agg(min(struct(col("ps").as("p"), col("src").as("id"))).as("nb"))
+        .agg(min(col("ps")).as("nb"))
       val winners = prio.join(nbrBest, Seq("id"), "left")
-        .where(col("nb").isNull ||
-          struct(col("p"), col("id")) < col("nb"))
+        .where(col("nb").isNull || col("p") < col("nb"))
         .select("id")
         .transform(Materialize.checkpoint)
       winnersAcc += winners

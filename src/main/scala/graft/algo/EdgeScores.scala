@@ -28,12 +28,18 @@ object EdgeScores {
   }
 
   /** EdgeScoreLinearizer (`edgescores/EdgeScoreLinearizer.cpp`): replace
-    * each score by its rank-based quantile in (0,1].
+    * each score by its rank-based quantile in (0,1]. Rank is computed with
+    * the scalable two-phase scheme (range-partition + per-partition
+    * row_number + broadcast offsets — `DenseId.assign`), NOT a single
+    * partition-less global window: ties then share the min row_number of
+    * their score group via a window partitioned by score (bounded groups).
     */
   def linearize(scores: DataFrame, scoreCol: String = "score"): DataFrame = {
     val n = scores.count().toDouble
-    scores.withColumn(scoreCol,
-      rank().over(Window.orderBy(col(scoreCol))).cast("double") / n)
+    val rn = graft.core.DenseId.assign(scores, "_rn",
+      Seq(scoreCol, "src", "dst"))
+    val tieRank = min(col("_rn")).over(Window.partitionBy(col(scoreCol))) + 1
+    rn.withColumn(scoreCol, tieRank.cast("double") / n).drop("_rn")
   }
 
   /** EdgeScoreBlender (`edgescores/EdgeScoreBlender.cpp`):
@@ -99,14 +105,15 @@ object EdgeScores {
   def simmelianOverlap(spark: SparkSession, edges: DataFrame,
                        maxRank: Int = 10): DataFrame = {
     val tri = Triangles.perEdge(spark, edges)
-    // rank each edge within both endpoints' incidence lists by strength
+    // rank each edge within both endpoints' incidence lists by strength —
+    // top-k per node via the salted two-phase primitive, so a hub's
+    // incidence list never lands in a single window task
     val incident = tri.select(col("src").as("node"), col("dst").as("other"),
         col("triangles"))
       .unionByName(tri.select(col("dst").as("node"), col("src").as("other"),
         col("triangles")))
-    val w = Window.partitionBy("node").orderBy(desc("triangles"), asc("other"))
-    val topk = incident.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= maxRank)
+    val topk = graft.core.Skew.saltedTopK(incident, Seq("node"),
+        Seq(desc("triangles"), asc("other")), maxRank)
       .select(col("node"), col("other"))
     // strong neighborhoods: overlap of topk sets of u and v
     topk.select(col("node").as("u"), col("other").as("w1"))
@@ -152,6 +159,71 @@ object EdgeScores {
                else scores.where(col("score") <= threshold)
     GraphOps.canonicalizeUnweighted(edges.where(col("src") =!= col("dst")))
       .join(keep.select("src", "dst"), Seq("src", "dst"), "left_semi")
+  }
+
+  /** SCANStructuralSimilarityScore
+    * (`sparsification/SCANStructuralSimilarityScore.cpp:5-16`): per edge,
+    * (tri(u,v) + 1) / sqrt((deg(u)+1)·(deg(v)+1)) — closed-neighborhood
+    * cosine. Derived from the triangle job + degree join, no new shuffle
+    * shape.
+    */
+  def scanStructuralSimilarity(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val tri = Triangles.perEdge(spark, edges)
+    val deg = GraphOps.degrees(GraphOps.symmetrize(
+      GraphOps.canonicalizeUnweighted(edges.where(col("src") =!= col("dst")))))
+    tri
+      .join(deg.select(col("id").as("src"), col("degree").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        ((col("triangles") + 1).cast("double") /
+          sqrt((col("du") + 1) * (col("dv") + 1))).as("score"))
+  }
+
+  /** LocalSimilarityScore (`sparsification/LocalSimilarityScore.cpp:18-67`):
+    * rank each incident edge by per-edge Jaccard similarity (descending;
+    * deterministic tie-break on neighbor id — the reference's std::sort
+    * order on ties is unspecified), sparsification exponent
+    * e = 1 − log(rank)/log(deg) (1 if deg ≤ 1), score = max over both
+    * endpoints. Windows are partitioned per node (bounded by degree).
+    */
+  def localSimilarity(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val sim = jaccardSimilarity(spark, edges)
+    val deg = GraphOps.degrees(GraphOps.symmetrize(
+      GraphOps.canonicalizeUnweighted(edges.where(col("src") =!= col("dst")))))
+    val incident = sim.select(col("src").as("node"), col("dst").as("other"), col("score"))
+      .unionByName(sim.select(col("dst").as("node"), col("src").as("other"), col("score")))
+      .join(deg.select(col("id").as("node"), col("degree").as("d")), "node")
+    val w = Window.partitionBy("node").orderBy(desc("score"), asc("other"))
+    val exps = incident.withColumn("rank", row_number().over(w))
+      .select(col("node"), col("other"),
+        when(col("d") <= 1, 1.0)
+          .otherwise(lit(1.0) - log(col("rank")) / log(col("d"))).as("e"))
+    exps.select(least(col("node"), col("other")).as("src"),
+        greatest(col("node"), col("other")).as("dst"), col("e"))
+      .groupBy("src", "dst").agg(max("e").as("score"))
+  }
+
+  /** MultiscaleScore (`sparsification/MultiscaleScore.cpp:14-66`): per node,
+    * normalize incident scores p = s/Σs; per edge the null-model
+    * probability 1 − (1−p)^(deg−1); final score = max over both endpoints.
+    * `scores` defaults to the edge weights.
+    */
+  def multiscale(spark: SparkSession, edges: DataFrame,
+                 scores: Option[DataFrame] = None): DataFrame = {
+    val canon = GraphOps.canonicalize(edges.where(col("src") =!= col("dst")))
+    val attr = scores.getOrElse(canon.select(col("src"), col("dst"),
+      col("weight").as("score")))
+    val incident = attr.select(col("src").as("node"), col("dst").as("other"), col("score"))
+      .unionByName(attr.select(col("dst").as("node"), col("src").as("other"), col("score")))
+    val perNode = incident.groupBy("node")
+      .agg(sum("score").as("ssum"), count(lit(1)).as("d"))
+    val probs = incident.join(perNode, "node")
+      .select(col("node"), col("other"),
+        (lit(1.0) - pow(lit(1.0) - col("score") / col("ssum"),
+          col("d") - 1)).as("p"))
+    probs.select(least(col("node"), col("other")).as("src"),
+        greatest(col("node"), col("other")).as("dst"), col("p"))
+      .groupBy("src", "dst").agg(max("p").as("score"))
   }
 
   /** RandomEdgeScore (`sparsification/RandomEdgeScore.cpp`) — deterministic

@@ -73,4 +73,120 @@ object LinkPrediction {
         col("a") < col("b"))
       .select(col("a"), col("b"), (col("da") * col("db")).as("pa"))
   }
+
+  /** ResourceAllocation: Σ over common neighbors z of 1/deg(z)
+    * (`linkprediction/ResourceAllocationIndex.cpp`).
+    */
+  def resourceAllocation(spark: SparkSession, edges: DataFrame,
+                         maxNodeId: Long = Long.MaxValue): DataFrame = {
+    val canon = GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst")))
+    val sym = GraphOps.symmetrize(canon)
+      .select(col("src").as("node"), col("dst").as("nbr"))
+    val deg = GraphOps.degrees(GraphOps.symmetrize(canon))
+      .select(col("id").as("nbr"), col("degree"))
+    val bounded = sym.where(col("node") < maxNodeId).join(deg, "nbr")
+    bounded.select(col("node").as("a"), col("nbr"), col("degree"))
+      .join(bounded.select(col("node").as("b"), col("nbr")), Seq("nbr"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum(lit(1.0) / col("degree")).as("ra"))
+  }
+
+  /** TotalNeighbors |Γ(a) ∪ Γ(b)| (`linkprediction/TotalNeighborsIndex.cpp`). */
+  def totalNeighbors(spark: SparkSession, edges: DataFrame,
+                     maxNodeId: Long = Long.MaxValue): DataFrame = {
+    val cn = commonNeighbors(spark, edges, maxNodeId)
+    val deg = GraphOps.degrees(GraphOps.symmetrize(
+      GraphOps.canonicalizeUnweighted(edges.where(col("src") =!= col("dst")))))
+    cn.join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+      .select(col("a"), col("b"), (col("da") + col("db") - col("cn")).as("tn"))
+  }
+
+  /** NeighborhoodDistance cn / sqrt(deg(a)·deg(b))
+    * (`linkprediction/NeighborhoodDistanceIndex.cpp`).
+    */
+  def neighborhoodDistance(spark: SparkSession, edges: DataFrame,
+                           maxNodeId: Long = Long.MaxValue): DataFrame = {
+    val cn = commonNeighbors(spark, edges, maxNodeId)
+    val deg = GraphOps.degrees(GraphOps.symmetrize(
+      GraphOps.canonicalizeUnweighted(edges.where(col("src") =!= col("dst")))))
+    cn.join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+      .select(col("a"), col("b"),
+        (col("cn").cast("double") / sqrt(col("da") * col("db"))).as("nd"))
+  }
+
+  /** SameCommunityIndex (`linkprediction/SameCommunityIndex.cpp`): 1 when
+    * both endpoints share a community label (labels from any community
+    * detection run), else 0, for candidate pairs a < b < maxNodeId.
+    */
+  def sameCommunity(spark: SparkSession, labels: DataFrame,
+                    maxNodeId: Long = Long.MaxValue): DataFrame = {
+    val l = labels.where(col("id") < maxNodeId)
+    l.select(col("id").as("a"), col("label").as("la"))
+      .join(l.select(col("id").as("b"), col("label").as("lb")),
+        col("a") < col("b"))
+      .select(col("a"), col("b"),
+        when(col("la") === col("lb"), 1.0).otherwise(0.0).as("sc"))
+  }
+
+  /** Deterministic train/test split of the canonical edge set — the
+    * hash-ordered counterpart of `linkprediction/RandomLinkSampler.cpp`
+    * (byPercentage): an edge lands in TEST iff the first two hex chars of
+    * md5("src|dst") fall below the cutoff encoding testFraction
+    * (reproducible in any engine; no RNG state).
+    * Returns (train, test) canonical edge tables.
+    */
+  def trainTestSplit(edges: DataFrame, testFraction: Double = 0.1)
+      : (DataFrame, DataFrame) = {
+    val canon = GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst")))
+    val cutoff = (testFraction * 256).toInt // two hex chars ∈ [0, 256)
+    val bucket = conv(substring(md5(
+      concat_ws("|", col("src"), col("dst"))), 1, 2), 16, 10).cast("int")
+    val test = canon.where(bucket < cutoff)
+    val train = canon.where(bucket >= cutoff)
+    (train, test)
+  }
+
+  /** AUC of a predictor against held-out positives — the area under
+    * `linkprediction/ROCMetric.cpp`'s curve in closed Mann-Whitney form
+    * with tie correction: AUC = Σ_s nPos(s)·(negBelow(s) + nNeg(s)/2)
+    * / (P·N). `predictions (a, b, score)` must cover the candidate
+    * universe; `positives (a, b)` marks the held-out edges.
+    * The per-score histogram window is bounded by |distinct scores| of the
+    * (sampled) evaluation set.
+    */
+  def aucRoc(spark: SparkSession, predictions: DataFrame,
+             positives: DataFrame): Double = {
+    val labeled = predictions
+      .join(positives.select(col("a"), col("b"), lit(1).as("pos")),
+        Seq("a", "b"), "left")
+      .select(col("score"), coalesce(col("pos"), lit(0)).as("pos"))
+    val hist = labeled.groupBy("score")
+      .agg(sum(col("pos")).as("np"), sum(lit(1) - col("pos")).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val row = hist
+      .withColumn("negBelow", coalesce(sum("nn").over(w), lit(0L)))
+      .agg(sum(col("np") * (col("negBelow") + col("nn").cast("double") / 2)).as("num"),
+        sum("np").as("p"), sum("nn").as("n"))
+      .head()
+    val (num, p, n) = (row.getDouble(0), row.getLong(1), row.getLong(2))
+    require(p > 0 && n > 0, "ROC undefined without both positives and negatives")
+    num / (p.toDouble * n.toDouble)
+  }
+
+  /** Precision@k over the ranked predictions (`PrecisionRecallMetric.cpp`
+    * surface): fraction of the top-k scored pairs that are held-out
+    * positives. Ties broken by (a, b) ascending for determinism.
+    */
+  def precisionAtK(spark: SparkSession, predictions: DataFrame,
+                   positives: DataFrame, k: Int): Double = {
+    val top = predictions.orderBy(desc("score"), asc("a"), asc("b")).limit(k)
+    val hits = top.join(positives, Seq("a", "b"), "left_semi").count()
+    hits.toDouble / k
+  }
 }

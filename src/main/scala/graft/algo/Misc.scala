@@ -62,6 +62,78 @@ object Generators {
                maxOutDeg: Int = 256): DataFrame =
     PageGen.edges(spark, n, seed, maxOutDeg)
 
+  /** Chung–Lu expected-degree model (`generators/ChungLuGenerator.cpp`
+    * semantics, determinized): given a power-law weight sequence
+    * w_i = (n/(i+1))^(1/(β−1)), draw m = Σw/2 edges whose endpoints are
+    * sampled ∝ w via inverse-CDF on counter-based uniforms — the standard
+    * O(m) edge-list formulation (no n² pair scan), embarrassingly parallel
+    * over the edge counter.
+    */
+  def chungLu(spark: SparkSession, n: Long, beta: Double = 2.5,
+              avgDeg: Double = 8.0, seed: Long = 42): DataFrame = {
+    import spark.implicits._
+    val exp = 1.0 / (beta - 1.0)
+    val m = (n * avgDeg / 2).toLong
+    // inverse CDF of the weight distribution: picking node ⌊n·u^(1/(1-exp̂))⌋
+    // where the weight of rank i is (n/(i+1))^exp — the CDF of cumulative
+    // weights of a power law with exponent `exp` inverts to u^(1/(1-exp)).
+    val invExp = 1.0 / (1.0 - exp)
+    def pick(h: Long): Long = {
+      val u = math.max((h >>> 11).toDouble / (1L << 53).toDouble, 1e-12)
+      math.min((n * math.pow(u, invExp)).toLong, n - 1)
+    }
+    spark.range(m).map { eBoxed =>
+      val e: Long = eBoxed.longValue
+      val h1 = PageGen.mix64(PageGen.mix64(seed ^ e) ^ 0x9E3779B97F4A7C15L)
+      val h2 = PageGen.mix64(PageGen.mix64(seed ^ e) ^ 0xC2B2AE3D27D4EB4FL)
+      (pick(h1), pick(h2), 1.0)
+    }.toDF("src", "dst", "weight")
+      .where(col("src") =!= col("dst"))
+  }
+
+  /** Watts–Strogatz small world (`generators/WattsStrogatzGenerator.cpp`
+    * semantics, determinized): ring lattice of degree 2k with each edge's
+    * far endpoint rewired to a uniform target with probability p — rewiring
+    * decided by a counter-based hash of (seed, u, j), so the graph is a
+    * pure function of its parameters.
+    */
+  def wattsStrogatz(spark: SparkSession, n: Long, k: Int = 2,
+                    p: Double = 0.1, seed: Long = 42): DataFrame = {
+    import spark.implicits._
+    spark.range(n).flatMap { uBoxed =>
+      val u: Long = uBoxed.longValue
+      (1 to k).iterator.map { j =>
+        val h = PageGen.mix64(PageGen.mix64(seed ^ u) ^ j.toLong)
+        val rewire = ((h >>> 11).toDouble / (1L << 53).toDouble) < p
+        val v =
+          if (rewire) {
+            val h2 = PageGen.mix64(h ^ 0xD6E8FEB86659FD93L)
+            ((h2 % n) + n) % n
+          } else (u + j) % n
+        (u, v, 1.0)
+      }
+    }.toDF("src", "dst", "weight")
+      .where(col("src") =!= col("dst"))
+  }
+
+  /** Havel–Hakimi-ish deterministic graph with a PRESCRIBED degree sequence
+    * shape (`generators/HavelHakimiGenerator.cpp` capability): the ranked
+    * power-law sequence is realized greedily ring-wise — node i connects to
+    * the next ⌈w_i⌉ nodes in rank order (a deterministic graphical
+    * realization; exact HH stub-matching is sequential by nature).
+    */
+  def rankedDegreeRing(spark: SparkSession, n: Long, beta: Double = 2.5,
+                       maxDeg: Int = 64): DataFrame = {
+    import spark.implicits._
+    val exp = 1.0 / (beta - 1.0)
+    spark.range(n).flatMap { iBoxed =>
+      val i: Long = iBoxed.longValue
+      val w = math.min(math.pow(n.toDouble / (i + 1), exp), maxDeg.toDouble)
+      (1 to math.max(1, w.toInt)).iterator.map(j => (i, (i + j) % n, 1.0))
+    }.toDF("src", "dst", "weight")
+      .where(col("src") =!= col("dst"))
+  }
+
   /** Barabási–Albert-ish attachment (`generators/BarabasiAlbertGenerator
     * .cpp` shape, determinized): node i attaches k edges to targets drawn
     * ∝ a power-law over [0, i) via counter-based hashing — preferential-

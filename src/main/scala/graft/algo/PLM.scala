@@ -23,8 +23,13 @@ import graft.core.GraphOps
   */
 object PLM {
 
+  /** @param stopEarly false → run exactly `maxMovePasses` passes per level
+    *                   (extra passes at a fixed point are no-ops); a fixed,
+    *                   data-independent schedule is what makes the move
+    *                   phase replayable by the unrolled DuckDB oracle.
+    */
   final case class Config(gamma: Double = 1.0, maxMovePasses: Int = 8,
-                          maxLevels: Int = 8)
+                          maxLevels: Int = 8, stopEarly: Boolean = true)
 
   final case class Result(labels: DataFrame, levels: Int)
 
@@ -52,7 +57,7 @@ object PLM {
       .transform(graft.core.Materialize.checkpoint)
     var pass = 0
     var moved = 1L
-    while (moved > 0 && pass < cfg.maxMovePasses) {
+    while ((moved > 0 || !cfg.stopEarly) && pass < cfg.maxMovePasses) {
       pass += 1
       val parity = pass % 2
       val comVol = labels.join(vol, "id")

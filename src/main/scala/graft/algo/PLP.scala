@@ -77,11 +77,18 @@ object PLP {
       // the current parity class; the other class keeps its labels.
       val parity = iter % 2
       val updateSet = state.where(col("active") && pmod(col("id"), lit(2)) === parity)
-      // neighbor labels arriving at each updating node
+      // neighbor labels arriving at each updating node. The parity filter
+      // (a static scan predicate) and the active-set semi-join are applied
+      // to the edge table BEFORE the label join, so the big edges⋈labels
+      // shuffle only carries rows whose dst actually updates this sweep —
+      // at minimum half the edges, and a shrinking fraction as the active
+      // set drains (previously the full join ran first and the semi-join
+      // discarded most of it afterwards).
       val nbr = sym
+        .where(pmod(col("dst"), lit(2)) === parity)
+        .join(updateSet.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .join(labelsOnly.withColumnRenamed("id", "src")
           .withColumnRenamed("label", "nlabel"), "src")
-        .join(updateSet.select(col("id").as("dst")), Seq("dst"), "left_semi")
       val winners = nbr
         .groupBy(col("dst"), col("nlabel"))
         .agg(sum("weight").as("w"))

@@ -23,9 +23,14 @@ object SCD {
     * of uniformly (`scd/ApproximatePageRank.cpp` semantics via power
     * iteration). Undirected: pass edges once, symmetrized internally.
     */
+  /** @param exactIters when set, run exactly this many iterations with no
+    *                    early stop (a deterministic, unrollable trajectory —
+    *                    what the DuckDB oracle replays).
+    */
   def personalizedPageRank(spark: SparkSession, edges: DataFrame,
                            seeds: DataFrame, damping: Double = 0.85,
-                           tol: Double = 1e-8, maxIter: Int = 200): DataFrame = {
+                           tol: Double = 1e-8, maxIter: Int = 200,
+                           exactIters: Option[Int] = None): DataFrame = {
     val sym = GraphOps.symmetrize(edges)
     val nodes = GraphOps.nodes(edges)
     val nSeeds = seeds.count()
@@ -59,7 +64,11 @@ object SCD {
       math.sqrt(next.agg(sum(pow(col("score") - col("prev"), 2)))
         .head().getDouble(0))
 
-    IterationDriver.run(spark, init, step, l2, IterConfig(tol, maxIter))
+    val cfg = exactIters match {
+      case Some(k) => IterConfig(tol = -1.0, maxIter = k) // metric ≥ 0 > -1: never stops early
+      case None    => IterConfig(tol, maxIter)
+    }
+    IterationDriver.run(spark, init, step, l2, cfg)
       .state.select("id", "score")
   }
 
@@ -70,29 +79,46 @@ object SCD {
     */
   def pageRankNibble(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
                      damping: Double = 0.85, tol: Double = 1e-8,
-                     maxSupport: Int = 10000): DataFrame = {
+                     maxSupport: Int = 10000,
+                     exactIters: Option[Int] = None): DataFrame = {
     val canon = GraphOps.canonicalizeUnweighted(
       edges.where(col("src") =!= col("dst")))
     val deg = GraphOps.degrees(GraphOps.symmetrize(canon))
     val m2 = canon.count() * 2.0
 
-    val ppr = personalizedPageRank(spark, canon, seeds, damping, tol)
+    val ppr = personalizedPageRank(spark, canon, seeds, damping, tol,
+        exactIters = exactIters)
       .where(col("score") > 0)
+    // ordering key rounded to 12 decimals: the PPR doubles differ from any
+    // re-computation (e.g. the DuckDB oracle) in the last bits because the
+    // neighbor sums associate differently — rounding collapses sub-1e-12
+    // noise so the sweep ordering is engine-independent; genuinely distinct
+    // keys are far wider apart.
     val support = ppr.join(deg, "id")
-      .select(col("id"), (col("score") / col("degree")).as("key"), col("degree"))
+      .select(col("id"), round(col("score") / col("degree"), 12).as("key"),
+        col("degree"))
       .orderBy(desc("key"), asc("id")).limit(maxSupport)
-    // rank within the (small, localized) support
+    // rank within the (small, localized) support — the partition-less
+    // window is bounded by maxSupport rows by construction (guarded above),
+    // so the single-task sort is capped, not a scale risk.
     val w = Window.orderBy(desc("key"), asc("id"))
     val ranked = support.withColumn("rank", row_number().over(w)).persist()
 
-    // cut(k) = #edges with min_rank <= k < max_rank, via difference counts
+    // cut(k) = #edges with min_rank <= k < max_rank, via difference counts.
+    // Edges with exactly one endpoint in the ranked support never become
+    // internal: they enter the cut at the inside endpoint's rank and stay
+    // there (hi = +inf) — an inner join here would undercount conductance
+    // whenever PPR support is truncated by maxSupport.
     val er = canon
-      .join(ranked.select(col("id").as("src"), col("rank").as("rs")), "src")
-      .join(ranked.select(col("id").as("dst"), col("rank").as("rd")), "dst")
-      .select(least(col("rs"), col("rd")).as("lo"),
-        greatest(col("rs"), col("rd")).as("hi"))
+      .join(ranked.select(col("id").as("src"), col("rank").as("rs")), Seq("src"), "left")
+      .join(ranked.select(col("id").as("dst"), col("rank").as("rd")), Seq("dst"), "left")
+      .where(col("rs").isNotNull || col("rd").isNotNull)
+      .select(least(coalesce(col("rs"), col("rd")), coalesce(col("rd"), col("rs"))).as("lo"),
+        when(col("rs").isNotNull && col("rd").isNotNull,
+          greatest(col("rs"), col("rd"))).as("hi"))
     val deltas = er.select(col("lo").as("rank"), lit(1L).as("d"))
-      .unionByName(er.select(col("hi").as("rank"), lit(-1L).as("d")))
+      .unionByName(er.where(col("hi").isNotNull)
+        .select(col("hi").as("rank"), lit(-1L).as("d")))
       .groupBy("rank").agg(sum("d").as("d"))
     val sweep = ranked.join(deltas, Seq("rank"), "left")
       .withColumn("cut", sum(coalesce(col("d"), lit(0L)))

@@ -117,6 +117,31 @@ object Triangles {
           .otherwise(lit(0.0)).as("lcc"))
   }
 
+  /** Per-edge quadrangle (4-cycle) counts — the capability of
+    * `edgescores/ChibaNishizekiQuadrangleEdgeScore.cpp`: for edge (u,v),
+    * the number of 4-cycles u–v–x–w–u, i.e. pairs w∈Γ(u)∖{v}, x∈Γ(v)∖{u}
+    * with (w,x) an edge. One 3-hop join over the symmetrized table; run on
+    * mid-density graphs (the join volume is Σ_{(w,x)∈E} d(w)·d(x), which a
+    * dense hub graph inflates — at scale bound it with degree-ordered
+    * orientation like the triangle kernel).
+    */
+  def quadranglesPerEdge(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val canon = GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst"))).select("src", "dst")
+    val sym = GraphOps.symmetrize(canon.withColumn("weight", lit(1.0)))
+      .select("src", "dst")
+    // path u -(e1)- w -(e2)- x -(e3)- v closing edge (u,v)
+    val counts = sym.select(col("src").as("u"), col("dst").as("w"))
+      .join(sym.select(col("src").as("w"), col("dst").as("x")), "w")
+      .join(sym.select(col("src").as("x"), col("dst").as("v")), "x")
+      .where(col("w") =!= col("v") && col("x") =!= col("u") && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("src"),
+        greatest(col("u"), col("v")).as("dst"))
+      .groupBy("src", "dst").agg((count(lit(1)) / 2).cast("long").as("quads"))
+    canon.join(counts, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("quads"), lit(0L)).as("quads"))
+  }
+
   /** Exact global clustering coefficient = 3·triangles / wedges
     * (`ClusteringCoefficient::exactGlobal`).
     */

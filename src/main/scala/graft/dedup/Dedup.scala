@@ -25,15 +25,24 @@ object Dedup {
   }
 
   /** n-gram Jaccard similarity over DISTINCT word tokens for candidate
-    * pairs — exact pairwise baseline (quadratic: bound the candidate set
-    * upstream; at scale the LSH variant generates the candidates).
+    * pairs — the inverted-index self-join. `maxDf` caps the document
+    * frequency of tokens admitted to the index (and, consistently, to the
+    * per-doc set sizes): without it one stopword shared by d documents
+    * fans out d² join rows — quadratic blowup on any real corpus. Tokens
+    * with df > maxDf carry ~zero Jaccard signal anyway (they are in
+    * everything), so the df-capped measure is the standard practical
+    * variant; at web scale prefer LSH-generated candidates.
     * Output: (a, b, jaccard) for pairs with jaccard ≥ minSim, a < b.
     */
   def tokenJaccardPairs(docs: DataFrame, minSim: Double,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
+                        textCol: String = "text",
+                        maxDf: Long = 10000): DataFrame = {
+    val allToks = docs.select(col(idCol).as("id"),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val rare = allToks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("tok")
+    val toks = allToks.join(rare, Seq("tok"), "left_semi")
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = toks.withColumnRenamed("id", "a")
       .join(toks.withColumnRenamed("id", "b"), "tok")
@@ -91,22 +100,32 @@ object Dedup {
   }
 
   /** SimHash near-dup: 16-bit fingerprints; pairs at Hamming distance ≤
-    * maxDist. Bucketed by fingerprint halves (any pair within distance ≤
-    * maxDist shares a half when maxDist < 2 per half — classic
-    * multi-index): here we emit exact-fingerprint groups plus
-    * half-fingerprint candidates filtered by true Hamming distance.
+    * maxDist via the classic multi-index: split the fingerprint into
+    * `maxDist + 1` bit-bands — by pigeonhole any pair within distance
+    * maxDist matches EXACTLY on at least one band, so bucketing each band
+    * and verifying candidates by true Hamming distance has full recall
+    * (two bands for maxDist ≥ 2 would silently miss pairs). Candidates per
+    * bucket ≈ true near-dups; never n².
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 2,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val fps = docs.select(col(idCol).as("id"),
       TextOps.simhash16(col(textCol)).as("fp")).persist()
-    val halves = fps.select(col("id"), col("fp"), lit(0).as("h"),
-        (col("fp").bitwiseAND(0xFF)).as("key"))
-      .unionByName(fps.select(col("id"), col("fp"), lit(1).as("h"),
-        shiftright(col("fp"), 8).as("key")))
-    val cand = halves.select(col("id").as("a"), col("fp").as("fpa"), col("h"), col("key"))
-      .join(halves.select(col("id").as("b"), col("fp").as("fpb"), col("h"), col("key")),
+    val nb = math.min(maxDist + 1, 16)
+    val baseW = 16 / nb
+    val extras = 16 % nb
+    // band i covers [start_i, start_i + w_i) with w_i = baseW (+1 for the
+    // first `extras` bands)
+    val frames = (0 until nb).scanLeft((0, 0)) { case ((st, w), i) =>
+      (st + w, baseW + (if (i < extras) 1 else 0))
+    }.tail
+    val bandsDf = frames.zipWithIndex.map { case ((st, w), i) =>
+      fps.select(col("id"), col("fp"), lit(i).as("h"),
+        shiftright(col("fp"), st).bitwiseAND(lit((1 << w) - 1)).as("key"))
+    }.reduce(_ unionByName _)
+    val cand = bandsDf.select(col("id").as("a"), col("fp").as("fpa"), col("h"), col("key"))
+      .join(bandsDf.select(col("id").as("b"), col("fp").as("fpb"), col("h"), col("key")),
         Seq("h", "key"))
       .where(col("a") < col("b"))
       .select("a", "b", "fpa", "fpb").distinct()

@@ -117,21 +117,22 @@ object Metrics {
     * (`community/NMIDistance.cpp`; the reference reports 1−NMI as distance).
     */
   def nmi(spark: SparkSession, a: DataFrame, b: DataFrame): Double = {
+    // Fully distributed: entropies and MI are groupBy-aggregates over the
+    // contingency table — never collected to the driver (near-singleton
+    // partitions make the table O(n) rows, so a collect would not scale).
     val cont = contingency(a, b).persist()
     val n = cont.agg(sum("n")).head().getLong(0).toDouble
-    def entropy(counts: Seq[Double]): Double =
-      -counts.filter(_ > 0).map { c => val p = c / n; p * math.log(p) }.sum
-    val ha = entropy(cont.groupBy("la").agg(sum("n").as("s"))
-      .collect().map(_.getLong(1).toDouble).toSeq)
-    val hb = entropy(cont.groupBy("lb").agg(sum("n").as("s"))
-      .collect().map(_.getLong(1).toDouble).toSeq)
-    val rows = cont.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
+    def entropyOf(margCol: String): Double =
+      -cont.groupBy(margCol).agg(sum("n").as("s"))
+        .agg(sum((col("s") / n) * log(col("s") / n))).head().getDouble(0)
+    val ha = entropyOf("la")
+    val hb = entropyOf("lb")
+    val margA = cont.groupBy("la").agg(sum("n").as("ma"))
+    val margB = cont.groupBy("lb").agg(sum("n").as("mb"))
+    val mi = cont.join(margA, "la").join(margB, "lb")
+      .agg(sum((col("n") / n) *
+        log((col("n") * n) / (col("ma") * col("mb"))))).head().getDouble(0)
     cont.unpersist()
-    val margA = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    val margB = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
-    val mi = rows.map { case (la, lb, c) =>
-      (c / n) * math.log((c * n) / (margA(la) * margB(lb)))
-    }.sum
     if (ha == 0.0 && hb == 0.0) 1.0
     else if (math.max(ha, hb) == 0.0) 0.0
     else mi / math.max(ha, hb)

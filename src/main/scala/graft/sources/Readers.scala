@@ -115,6 +115,88 @@ object Readers {
       .select(col("id"), trim(col("value")).cast("long").as("label"))
   }
 
+  /** GML reader (`io/GMLGraphReader.cpp:17-130`): `node [ id k ]` /
+    * `edge [ source a target b ]` blocks, optional `directed 1` header.
+    * Node ids are remapped to dense 0-based ids in file order (the
+    * reference inserts into `nodeMap` as node blocks appear). GML is a
+    * small-fixture interchange format (SURVEY.md §2.1: "small-fixture
+    * only") — parsed driver-side like the reference, then parallelized.
+    * Returns (edges `(src, dst, weight)`, directed flag).
+    */
+  def gml(spark: SparkSession, path: String): (DataFrame, Boolean) = {
+    import spark.implicits._
+    val lines = scala.io.Source.fromFile(path).getLines().map(_.trim).toVector
+    val directed = lines.exists(l => l.matches("directed\\s+1"))
+    val nodeMap = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var mode = ""
+    var src = ""; var dst = ""; var w = 1.0
+    lines.foreach { l =>
+      if (l.startsWith("node") && l.contains("[")) mode = "node"
+      else if (l.startsWith("edge") && l.contains("[")) { mode = "edge"; src = ""; dst = ""; w = 1.0 }
+      else if (l.startsWith("]")) {
+        if (mode == "edge" && src.nonEmpty && dst.nonEmpty)
+          edges += ((nodeMap(src), nodeMap(dst), w))
+        mode = ""
+      } else {
+        val kv = l.split("\\s+", 2)
+        if (kv.length == 2) (mode, kv(0)) match {
+          case ("node", "id") =>
+            nodeMap.getOrElseUpdate(kv(1), nodeMap.size.toLong)
+          case ("edge", "source") => src = kv(1)
+          case ("edge", "target") => dst = kv(1)
+          case ("edge", "weight") => w = kv(1).toDouble
+          case _ => ()
+        }
+      }
+    }
+    (edges.toSeq.toDF("src", "dst", "weight"), directed)
+  }
+
+  /** MatrixMarket reader (`io/MatrixMarketReader.cpp`): `%%MatrixMarket
+    * matrix coordinate …` banner, `%` comments, first data line `rows cols
+    * nnz`, then 1-based `i j [w]` entries. Fully distributed text parse.
+    */
+  def matrixMarket(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .withColumn("_ord", monotonically_increasing_id())
+      .where(!col("value").startsWith("%") && length(trim(col("value"))) > 0)
+    val withNo = DenseId.assign(lines, "_lineno", Seq("_ord"))
+    withNo.where(col("_lineno") > 0) // skip the dims line
+      .select(split(trim(col("value")), "\\s+").as("p"))
+      .select((element_at(col("p"), 1).cast("long") - 1).as("src"),
+        (element_at(col("p"), 2).cast("long") - 1).as("dst"),
+        when(size(col("p")) >= 3, element_at(col("p"), 3).cast("double"))
+          .otherwise(1.0).as("weight"))
+  }
+
+  /** Cover reader (`io/CoverReader.cpp:5-30`): non-`#` line i lists the
+    * member node ids of community i. Output `(id, label)` — one row per
+    * membership (overlapping allowed), the engine's Cover representation
+    * (SURVEY.md §1.1).
+    */
+  def cover(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .withColumn("_ord", monotonically_increasing_id())
+      .where(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+    DenseId.assign(lines, "label", Seq("_ord"))
+      .select(col("label"), explode(split(trim(col("value")), "\\s+")).as("tok"))
+      .select(col("tok").cast("long").as("id"), col("label"))
+  }
+
+  /** EdgeListCover reader (`io/EdgeListCoverReader.cpp`): line = node id
+    * followed by the ids of the communities it belongs to (1-based node
+    * ids by default, like the reference's firstNode=1).
+    */
+  def edgeListCover(spark: SparkSession, path: String,
+                    firstNode: Long = 1): DataFrame =
+    spark.read.text(path)
+      .where(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+      .select(split(trim(col("value")), "\\s+").as("p"))
+      .select((element_at(col("p"), 1).cast("long") - firstNode).as("id"),
+        explode(slice(col("p"), 2, Int.MaxValue)).as("tok"))
+      .select(col("id"), col("tok").cast("long").as("label"))
+
   /** DGS dynamic-graph stream parser (`dynamics/DGSStreamParser.h:23-40`,
     * format cookie DGS004): commands st / an / ae / de / dn / ce; string
     * keys mapped to consecutive ids in first-appearance order. An ordered
@@ -175,4 +257,27 @@ object Writers {
 
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** GML writer (`io/GMLGraphWriter.cpp` capability): canonical node/edge
+    * blocks; small-fixture interchange, single text file.
+    */
+  def gml(edges: DataFrame, path: String, directed: Boolean = false): Unit = {
+    val nodes = graft.core.GraphOps.nodes(edges).orderBy("id")
+      .select(concat(lit("  node [\n    id "), col("id"), lit("\n  ]")).as("value"))
+    val es = edges.orderBy("src", "dst")
+      .select(concat(lit("  edge [\n    source "), col("src"),
+        lit("\n    target "), col("dst"), lit("\n  ]")).as("value"))
+    import nodes.sparkSession.implicits._
+    val header = Seq("graph [" + (if (directed) "\n  directed 1" else "")).toDF("value")
+    val footer = Seq("]").toDF("value")
+    header.unionByName(nodes).unionByName(es).unionByName(footer)
+      .coalesce(1).write.mode("overwrite").text(path)
+  }
+
+  /** Cover writer (`io/CoverWriter.cpp`): line i = members of community i. */
+  def cover(memberships: DataFrame, path: String): Unit =
+    memberships.groupBy("label")
+      .agg(array_join(array_sort(collect_list(col("id"))), " ").as("value"))
+      .orderBy("label").select("value")
+      .coalesce(1).write.mode("overwrite").text(path)
 }

@@ -68,12 +68,23 @@ object GraphUpdater {
     // since then. Simplification that matches the reference's sequential
     // fold for well-formed logs: process per-edge in ts order via groupBy +
     // sorted collect (bounded per edge — event logs are per-edge sparse).
+    // The fold's initial state comes from the PERSISTED edge table: an edge
+    // that exists across batches and receives only a weight update /
+    // increment must keep existing and keep its base weight (reference
+    // GraphUpdater mutates the live graph in place — `dynamics/
+    // GraphUpdater.h:19-36`). Without this seed, a cross-batch
+    // EDGE_WEIGHT_UPDATE would silently delete the edge.
+    val canonEdges = edges.select(least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst"), col("weight"))
     val folded = evE.groupBy("src", "dst")
       .agg(array_sort(collect_list(struct(col("ts"), col("etype"), col("w"))))
         .as("evs"))
+      .join(canonEdges.select(col("src"), col("dst"),
+        col("weight").as("base_weight")), Seq("src", "dst"), "left")
       .select(col("src"), col("dst"),
         aggregate(col("evs"),
-          struct(lit(false).as("exists"), lit(0.0).as("weight")),
+          struct(col("base_weight").isNotNull.as("exists"),
+            coalesce(col("base_weight"), lit(0.0)).as("weight")),
           (acc, e) => {
             val t = e.getField("etype")
             val w = e.getField("w")
@@ -91,8 +102,6 @@ object GraphUpdater {
       .select(col("src"), col("dst"), col("st.exists").as("exists"),
         col("st.weight").as("weight"))
 
-    val canonEdges = edges.select(least(col("src"), col("dst")).as("src"),
-      greatest(col("src"), col("dst")).as("dst"), col("weight"))
     val untouched = canonEdges.join(folded.select("src", "dst"),
       Seq("src", "dst"), "left_anti")
     val added = folded.where(col("exists")).select("src", "dst", "weight")
