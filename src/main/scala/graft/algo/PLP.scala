@@ -55,7 +55,13 @@ object PLP {
   def run(spark: SparkSession, edges: DataFrame,
           baseClustering: Option[DataFrame] = None,
           cfg: Config = Config()): Result = {
+    // hash-partitioned by dst ONCE: the per-sweep active-set semi-join, the
+    // winner aggregation and the re-activation scan are all dst-keyed, so
+    // the cached edge table is never reshuffled inside the loop (the cache
+    // preserves outputPartitioning; only node-sized tables move per sweep,
+    // plus the one src-keyed label join over the active half)
     val sym = GraphOps.symmetrize(edges)
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = GraphOps.nodes(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
@@ -106,9 +112,14 @@ object PLP {
       // re-activate changed nodes and their neighbors; deactivate swept
       // unchanged nodes; the off-parity class keeps its activation.
       val changedIds = updated.where(col("changed")).select(col("id"))
+      // neighbors-of-changed via the dst side (sym is symmetric, so
+      // {src : dst ∈ changed} IS the neighbor set): stays on the cached
+      // dst-partitioning — no edge shuffle — and the parity filter applies
+      // because every changed node carries this sweep's parity
       val nbrOfChanged = sym
-        .join(changedIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-        .select(col("dst").as("id")).distinct()
+        .where(pmod(col("dst"), lit(2)) === parity)
+        .join(changedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src").as("id")).distinct()
       val activeNext = changedIds.unionByName(nbrOfChanged).distinct()
         .withColumn("nextActive", lit(true))
       updated.join(activeNext, Seq("id"), "left")

@@ -133,4 +133,79 @@ object SCD {
     val out = ranked.where(col("rank") <= bestK).select("id")
     out
   }
+
+  /** GCE — greedy community expansion, objective M (`scd/GCE.cpp:27-195`):
+    * from a seed, repeatedly add the shell node maximizing
+    * ΔM = (intEdges + degInt(v)) / (extEdges − degInt(v) + degExt(v)) − Q
+    * while any candidate has ΔM ≥ 0; ties resolve to the larger id (the
+    * reference iterates an ascending std::set with `>=`, so the last —
+    * largest — maximum wins).
+    *
+    * Greedy one-node-at-a-time expansion is inherently sequential; the
+    * distributed shape fetches ONLY the added node's adjacency per round
+    * (one narrow filtered job) and keeps the community/shell bookkeeping —
+    * bounded by the community size, like the reference — incremental on
+    * the driver. Communities are control-plane-sized by definition of the
+    * operator; the graph itself never leaves the cluster.
+    */
+  def gce(spark: SparkSession, edges: DataFrame, seed: Long,
+          maxSize: Int = 10000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = GraphOps.symmetrize(GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst")))).select("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // fetch one node's neighbor list (narrow filter; a hub's list is the
+    // natural upper bound — same locality the reference's forNeighborsOf has)
+    def nbrs(v: Long): Set[Long] =
+      sym.where(col("src") === v).select("dst").collect()
+        .map(_.getLong(0)).toSet
+
+    val community = scala.collection.mutable.Set(seed)
+    val adj = scala.collection.mutable.Map(seed -> nbrs(seed))
+    val shell = scala.collection.mutable.Set.empty[Long] ++ adj(seed)
+    // degInt/degExt of shell nodes wrt community, maintained incrementally
+    val degInt = scala.collection.mutable.Map.empty[Long, Long]
+    val degExt = scala.collection.mutable.Map.empty[Long, Long]
+    for (v <- shell) { val nv = nbrs(v); adj(v) = nv
+      degInt(v) = 1; degExt(v) = nv.size.toLong - 1 }
+    var intEdges = 0L
+    var extEdges = adj(seed).size.toLong
+    var q = 0.0
+    var done = false
+    while (!done && shell.nonEmpty && community.size < maxSize) {
+      // argmax ΔM, ties to larger id (reference iteration order + >=)
+      var best: Option[(Double, Long)] = None
+      for (v <- shell) {
+        val denom = (extEdges - degInt(v) + degExt(v)).toDouble
+        val dq = (if (denom == 0) Double.PositiveInfinity
+                  else (intEdges + degInt(v)) / denom) - q
+        if (dq >= 0 &&
+            best.forall(b => dq > b._1 || (dq == b._1 && v > b._2)))
+          best = Some((dq, v))
+      }
+      best match {
+        case None => done = true
+        case Some((dq, vMax)) =>
+          community += vMax; shell -= vMax
+          intEdges += degInt(vMax)
+          extEdges += degExt(vMax) - degInt(vMax)
+          q += dq
+          for (w <- adj(vMax)) {
+            if (community.contains(w)) ()
+            else if (shell.contains(w)) {
+              degInt(w) += 1; degExt(w) -= 1
+            } else {
+              shell += w
+              val nw = nbrs(w); adj(w) = nw
+              degInt(w) = nw.count(community.contains).toLong
+              degExt(w) = nw.size.toLong - degInt(w)
+            }
+          }
+      }
+    }
+    sym.unpersist()
+    import spark.implicits._
+    community.toSeq.sorted.toDF("id")
+  }
 }

@@ -115,4 +115,16 @@ object GraphOps {
       col("n"), col("m"), col("self_loops"), col("total_weight"),
       (col("m").cast("double") / pairs.cast("double")).as("density"))
   }
+
+  /** indexEdges (`Graph.h:403` / `Graph.cpp` indexEdges): assign each
+    * canonical undirected edge a dense 0-based BIGINT edge id in (src, dst)
+    * order. The reference's edge-score vectors are keyed by these ids; here
+    * scores key by the canonical pair internally, and this op materializes
+    * the explicit id surface for interop (two-phase range-partitioned
+    * assignment — no global window).
+    */
+  def indexEdges(edges: DataFrame): DataFrame =
+    graft.core.DenseId.assign(
+      canonicalizeUnweighted(removeSelfLoops(edges)).select("src", "dst"),
+      "edge_id", Seq("src", "dst"))
 }

@@ -153,6 +153,23 @@ object Readers {
     (edges.toSeq.toDF("src", "dst", "weight"), directed)
   }
 
+  /** GML with the DECLARED node set (`io/GMLGraphReader.cpp` keeps isolated
+    * nodes — `jazz2_undirected.gml` declares 5 nodes but only 3 appear in
+    * edges; `GraphOps.nodes` cannot recover the isolated two).
+    * Returns (edges, nodes, directed).
+    */
+  def gmlWithNodes(spark: SparkSession,
+                   path: String): (DataFrame, DataFrame, Boolean) = {
+    import spark.implicits._
+    val (edges, directed) = gml(spark, path)
+    val nodeIds = scala.io.Source.fromFile(path).getLines().map(_.trim)
+      .toVector.sliding(2).collect {
+        case Vector(a, b) if a.startsWith("node") && b.startsWith("id ") =>
+          b.split("\\s+", 2)(1)
+      }.toVector.distinct.zipWithIndex.map { case (_, i) => i.toLong }
+    (edges, nodeIds.toDF("id"), directed)
+  }
+
   /** MatrixMarket reader (`io/MatrixMarketReader.cpp`): `%%MatrixMarket
     * matrix coordinate …` banner, `%` comments, first data line `rows cols
     * nnz`, then 1-based `i j [w]` entries. Fully distributed text parse.

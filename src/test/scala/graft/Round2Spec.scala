@@ -65,8 +65,11 @@ class Round2Spec extends SparkTestBase {
     val und = "/root/reference/input/jazz2_undirected.gml"
     val dir2 = "/root/reference/input/jazz2_directed.gml"
     assume(new java.io.File(und).exists())
-    val (ue, ud) = Readers.gml(spark, und)
-    assert(!ud && ue.count() == 4 && GraphOps.nodes(ue).count() == 5)
+    val (ue, un, ud) = Readers.gmlWithNodes(spark, und)
+    // 5 declared nodes (2 isolated — only the declared list sees them),
+    // 4 edges incl. self-loops; matches GMLGraphReaderGTest expectations
+    assert(!ud && ue.count() == 4 && un.count() == 5)
+    assert(GraphOps.nodes(ue).count() == 3)
     val (de, dd) = Readers.gml(spark, dir2)
     assert(dd && de.count() == 4)
   }

@@ -1,0 +1,298 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.algo._
+import graft.core.GraphOps
+
+/** Round-3 operator tests: iFub diameter, algebraic distance, random
+  * spanning forest, link-prediction breadth (Katz / degrees / neighbors
+  * measure / adjusted Rand / same community), sparsification additions
+  * (chance-corrected, prefix-jaccard, local filter, forest fire, random
+  * node-edge), GCE, dynamic SSSP repair, edge-id surface.
+  */
+class Round3Spec extends SparkTestBase {
+
+  // ------------------------------------------------------------- diameter
+  test("iFub diameter: path + triangle + pair (disconnected)") {
+    val edges = edgeDF(undirected(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),          // path, ecc 4
+      (10L, 11L), (11L, 12L), (10L, 12L),              // triangle, diam 1
+      (20L, 21L)))                                      // pair, diam 1
+    assert(Diameter.exact(spark, edges) == 4L)
+  }
+
+  test("iFub diameter agrees with the all-sources eccentricity scan") {
+    val s = spark
+    import s.implicits._
+    // deterministic sparse graph with a few components
+    val edges = edgeDF((0 until 60).map { i =>
+      (i.toLong % 23, (i.toLong * 7 + 3) % 23, 1.0)
+    }.filter(e => e._1 != e._2))
+    val viaScan = SSSP.eccentricity(spark, edges, GraphOps.nodes(edges))
+      .agg(max("eccentricity")).head().getLong(0)
+    assert(Diameter.exact(spark, edges) == viaScan)
+  }
+
+  // -------------------------------------------------- algebraic distance
+  test("algebraic distance: deterministic, finite, one score per edge") {
+    val edges = edgeDF(undirected(
+      (0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L)))
+    val a = AlgebraicDistance.edgeScores(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val b = AlgebraicDistance.edgeScores(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(a == b)
+    assert(a.size == 7)
+    assert(a.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  // ----------------------------------------------- random spanning forest
+  test("random spanning forest: spans every component, acyclic size") {
+    val edges = edgeDF(undirected(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),  // 4-cycle: tree needs 3
+      (5L, 6L), (6L, 7L)))                      // path: 2
+    val f = RandomSpanningForest.run(spark, edges)
+    assert(f.count() == 5)
+    // forest edges are a subset of the input's canonical edges
+    val inE = GraphOps.canonicalizeUnweighted(edges)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f.select("src", "dst").collect()
+      .forall(r => inE.contains((r.getLong(0), r.getLong(1)))))
+    // same seed → same forest; connectivity is preserved
+    val f2 = RandomSpanningForest.run(spark, edges)
+    assert(f.select("src", "dst").collect().toSet ==
+      f2.select("src", "dst").collect().toSet)
+    val ccIn = ConnectedComponents.run(spark, edges)
+    val ccF = ConnectedComponents.run(spark,
+      f.withColumn("weight", lit(1.0)))
+    assert(ccF.select("component").distinct().count() ==
+      ccIn.select("component").distinct().count())
+  }
+
+  // ------------------------------------------------------ link prediction
+  test("Katz index on a triangle: walks with revisits, β^l damping") {
+    val edges = edgeDF(undirected((0L, 1L), (1L, 2L), (2L, 0L)))
+    val got = LinkPrediction.katz(spark, edges, maxNodeId = 100,
+        maxPathLength = 3, beta = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // A[0][1]=1, A²[0][1]=1, A³[0][1]=3 → 0.1 + 0.01 + 3·0.001 = 0.113
+    assert(math.abs(got((0L, 1L)) - 0.113) < 1e-9)
+    assert(math.abs(got((0L, 2L)) - 0.113) < 1e-9)
+    assert(math.abs(got((1L, 2L)) - 0.113) < 1e-9)
+  }
+
+  test("endpoint degrees (UDegree/VDegree) on a star") {
+    val edges = edgeDF(undirected((0L, 1L), (0L, 2L), (0L, 3L)))
+    val got = LinkPrediction.endpointDegrees(spark, edges, maxNodeId = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got((0L, 1L)) == (3.0, 1.0))
+    assert(got((1L, 2L)) == (1.0, 1.0))
+    assert(got.size == 6)
+  }
+
+  test("neighbors measure on a path: common + cross-neighborhood edges") {
+    val edges = edgeDF(undirected((0L, 1L), (1L, 2L), (2L, 3L)))
+    val got = LinkPrediction.neighborsMeasure(spark, edges, maxNodeId = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // (0,3): Γ(0)={1}, Γ(3)={2}, edge 1-2 → 1;  (0,2): common {1} → 1+
+    // cross pairs (1,1)? no edge; (1,3): Γ(2)={1,3} — pairs (1,1) common=1,
+    // (1,3): no edge → nm(0,2) = 1
+    assert(got((0L, 3L)) == 1.0)
+    assert(got((0L, 2L)) == 1.0)
+    // (1,3): Γ(1)={0,2}, Γ(3)={2}: pair (2,2) common; (0,2) no edge... 0-2
+    // not an edge → nm = 1
+    assert(got((1L, 3L)) == 1.0)
+  }
+
+  test("adjusted Rand index mirrors the reference's formula (b=c=union)") {
+    val edges = edgeDF(undirected((0L, 1L), (1L, 2L)))
+    val got = LinkPrediction.adjustedRand(spark, edges, maxNodeId = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // pair (0,2): a=1, b=c=1, d=3-1=2 → 2(2-1)/(1+1+4+1+2+1+2) = 2/12
+    assert(math.abs(got((0L, 2L)) - 2.0 / 12.0) < 1e-9)
+  }
+
+  test("same-community index from labels") {
+    val s = spark
+    import s.implicits._
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)).toDF("id", "label")
+    val got = LinkPrediction.sameCommunity(spark, labels, maxNodeId = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((0L, 1L)) == 1.0 && got((2L, 3L)) == 1.0)
+    assert(got((0L, 2L)) == 0.0 && got((1L, 3L)) == 0.0)
+    assert(got.size == 6)
+  }
+
+  // -------------------------------------------------------- edge scores
+  test("chance-corrected triangle score: triangle + pendant") {
+    val edges = edgeDF(undirected((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)))
+    val got = EdgeScores.chanceCorrectedTriangle(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((0L, 1L)) == 2.0)          // 1·(4-2)/(1·1)
+    assert(got((0L, 2L)) == 1.0)          // 1·2/(1·2)
+    assert(got((2L, 3L)) == 1.0)          // tri=0, deg(3)=1
+  }
+
+  test("prefix-jaccard matches a sequential mirror of the reference loop") {
+    // deterministic mid-density graph with non-trivial attribute ranks
+    val raw = (0 until 40).map(i =>
+        ((i.toLong * 3) % 11, (i.toLong * 7 + 1) % 11))
+      .filter(e => e._1 != e._2)
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.distinct
+    val edges = edgeDF(raw.map { case (u, v) => (u, v, 1.0) })
+    val s = spark
+    import s.implicits._
+    val attr = raw.map { case (u, v) =>
+      (u, v, ((u * 13 + v * 17) % 5).toDouble) }.toDF("src", "dst", "score")
+    val got = EdgeScores.prefixJaccard(spark, edges, attr)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // sequential mirror (competition ranks, prefix sweep, max jaccard)
+    val att = raw.map { case (u, v) =>
+      (u, v) -> ((u * 13 + v * 17) % 5).toDouble }.toMap
+    val inc = raw.flatMap { case (u, v) =>
+      Seq(u -> (v, att((u, v))), v -> (u, att((u, v)))) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    val rank = inc.map { case (n, xs) =>
+      n -> xs.map { case (o, a) => o -> xs.count(_._2 > a) }.toMap }
+    def pj(u: Long, v: Long): Double = {
+      val ru = rank(u).filter(_._1 != v)
+      val rv = rank(v).filter(_._1 != u)
+      val rs = (ru.values ++ rv.values).toSeq.distinct.sorted
+      val best = rs.map { r =>
+        val a = ru.filter(_._2 <= r).keySet
+        val b = rv.filter(_._2 <= r).keySet
+        if ((a ++ b).isEmpty) 0.0
+        else (a & b).size.toDouble / (a ++ b).size
+      }
+      if (best.isEmpty) 0.0 else best.max
+    }
+    raw.foreach { case (u, v) =>
+      assert(math.abs(got((u, v)) - pj(u, v)) < 1e-9,
+        s"edge ($u,$v): got ${got((u, v))}, want ${pj(u, v)}")
+    }
+  }
+
+  test("local filter over jaccard scores equals local similarity") {
+    val edges = edgeDF(undirected(
+      (0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 2L), (0L, 4L)))
+    val viaFilter = EdgeScores.localFilter(spark, edges,
+        EdgeScores.jaccardSimilarity(spark, edges))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val direct = EdgeScores.localSimilarity(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaFilter.keySet == direct.keySet)
+    viaFilter.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-9) }
+  }
+
+  test("forest fire: deterministic, normalized, covers the edge set") {
+    val edges = edgeDF(undirected(
+      (0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L)))
+    val a = EdgeScores.forestFire(spark, edges, fires = 16, maxRounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val b = EdgeScores.forestFire(spark, edges, fires = 16, maxRounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(a == b)
+    assert(a.size == 7)
+    assert(a.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(a.values.max == 1.0) // normalized by max burn count
+  }
+
+  test("random node-edge score: deterministic quantile in (0,1]") {
+    val edges = edgeDF(undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+    val got = EdgeScores.randomNodeEdge(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 4)
+    assert(got.values.forall(v => v > 0.0 && v <= 1.0))
+    assert(got.values.toSeq.distinct.size == 4) // a strict removal order
+  }
+
+  // ------------------------------------------------------------------ GCE
+  test("GCE objective M: expands a triangle, rejects the bridge") {
+    val edges = edgeDF(undirected(
+      (0L, 1L), (1L, 2L), (2L, 0L),  // community A
+      (2L, 3L),                      // bridge
+      (3L, 4L), (4L, 5L), (5L, 3L))) // community B
+    val got = SCD.gce(spark, edges, seed = 0L).collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L, 2L))
+  }
+
+  // ------------------------------------------------------------ dyn SSSP
+  test("dynamic BFS repair equals fresh BFS after edge insertions") {
+    val s = spark
+    import s.implicits._
+    val base = undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val dist0 = SSSP.bfs(spark, edgeDF(base), Seq(0L).toDF("id"))
+      .select("id", "dist")
+    val newE = undirected((0L, 5L), (5L, 6L)) // shortcut + newly reachable
+    val all = edgeDF(base ++ newE)
+    val repaired = DynSSSP.insertEdges(spark, all, dist0, edgeDF(newE))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fresh = SSSP.bfs(spark, all, Seq(0L).toDF("id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2).toDouble).toMap
+    assert(repaired == fresh)
+  }
+
+  test("dynamic weighted SSSP repair equals fresh relaxation") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((0L, 1L, 2.0), (1L, 2L, 2.0), (2L, 3L, 2.0))
+    val dist0 = SSSP.weighted(spark, edgeDF(base), source = 0L)
+    val newE = Seq((0L, 3L, 1.5))
+    val all = edgeDF(base ++ newE)
+    val repaired = DynSSSP.insertEdges(spark, all, dist0, edgeDF(newE),
+        weighted = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fresh = SSSP.weighted(spark, all, source = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(repaired == fresh)
+    assert(repaired(3L) == 1.5)
+  }
+
+  // ----------------------------------------------------------- generators
+  test("hyperbolic generator: band join equals brute-force n² threshold") {
+    val s = spark
+    import s.implicits._
+    val n = 400L
+    val got = Generators.hyperbolic(spark, n, avgDegree = 6.0)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same deterministic positions
+    val seed = 42L
+    val alpha = 1.0
+    val rDisk = 2.0 * math.log(8.0 * n / (math.Pi * 6.0))
+    val pos = spark.range(n).select(col("id"),
+        (lit(2.0 * math.Pi) *
+          (shiftrightunsigned(xxhash64(col("id"), lit(seed)), 11)
+            .cast("double") / (1L << 53).toDouble)).as("theta"),
+        (acosh(lit(1.0) + (cosh(lit(alpha * rDisk)) - 1.0) *
+          (shiftrightunsigned(xxhash64(col("id"), lit(seed + 1)), 11)
+            .cast("double") / (1L << 53).toDouble)) / alpha).as("r"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val brute = (for {
+      (u, tu, ru) <- pos
+      (v, tv, rv) <- pos if u < v
+      if math.cosh(ru) * math.cosh(rv) -
+        math.sinh(ru) * math.sinh(rv) * math.cos(math.abs(tu - tv)) <=
+        math.cosh(rDisk)
+    } yield (u, v)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty)
+    // determinism
+    val again = Generators.hyperbolic(spark, n, avgDegree = 6.0)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got)
+  }
+
+  // ------------------------------------------------------------ edge ids
+  test("indexEdges: dense 0-based ids in canonical (src, dst) order") {
+    val edges = edgeDF(undirected((3L, 1L), (0L, 2L), (1L, 0L), (2L, 3L)))
+    val got = GraphOps.indexEdges(edges)
+      .orderBy("edge_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      got.map(t => (t._1, t._2)).sortBy(identity).toSeq)
+  }
+}
