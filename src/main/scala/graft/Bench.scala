@@ -113,6 +113,68 @@ object Bench {
   }
 }
 
+/** Skew evidence for the north star's hub handling: the same operators on
+  * (a) a uniform-degree graph and (b) the same graph plus one hub of degree
+  * `hubDeg` (default 10⁶ in a ~10⁷-edge graph). Reports per-op times on
+  * both and the hub/uniform ratio — the design target is ≤ 2× (hub skew
+  * absorbed by map-side partial aggregation in the agg path and by
+  * `Skew.saltedTopK` in the window path; a naive per-node window would be
+  * ~hubDeg/avgDeg ≈ 10⁵× slower on the hub task alone).
+  * Args: [nodes] [hubDeg].
+  */
+object SkewBench {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    val hubDeg = if (args.length > 1) args(1).toLong else 1000000L
+    val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // uniform ~5 edges/node (ER geometric skip), then + one 10⁶-degree hub
+    val uniform = graft.algo.Generators
+      .erdosRenyi(spark, n, 5.0 / n, seed = 7)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mU = uniform.count()
+    val hub = spark.range(1, hubDeg + 1)
+      .select(lit(0L).as("src"), col("id").as("dst"), lit(1.0).as("weight"))
+    val skewed = uniform.unionByName(hub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mS = skewed.count()
+
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for ((name, edges) <- Seq("uniform" -> uniform, "hub" -> skewed)) {
+      val nodes = graft.core.GraphOps.nodes(edges)
+      out(s"pagerank_$name") = time {
+        graft.algo.PageRank.run(spark, edges, nodes,
+          graft.algo.PageRank.Config(tol = 0.0, maxIter = 5))
+          .scores.agg(sum("score")).head()
+      }
+      // per-node strongest-ties top-k — the window-shaped op; the hub's
+      // incidence list is split across salts, never one task
+      out(s"saltedTopK_$name") = time {
+        val incident = graft.core.GraphOps.symmetrize(edges)
+          .select(col("src").as("node"), col("dst").as("other"),
+            xxhash64(col("src"), col("dst")).as("strength"))
+        graft.core.Skew.saltedTopK(incident, Seq("node"),
+          Seq(desc("strength"), asc("other")), k = 10)
+          .agg(count(lit(1))).head()
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .filter(org.apache.spark.rdd.graftshim.RddIntrospect.isLocallyCheckpointed)
+        .foreach(_.unpersist(blocking = false))
+    }
+    val prRatio = out("pagerank_hub") / out("pagerank_uniform")
+    val tkRatio = out("saltedTopK_hub") / out("saltedTopK_uniform")
+    val qs = out.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"skew_ratio","value":${math.max(prRatio, tkRatio)},"unit":"ratio","ops":$qs,"pagerank_ratio":$prRatio,"saltedTopK_ratio":$tkRatio,"uniform_edges":$mU,"skewed_edges":$mS,"hub_degree":$hubDeg}""")
+    spark.stop()
+  }
+}
+
 /** Scaling evidence for the north rule's two-cluster-size criterion: the
   * same PageRank job at two parallelism levels (N and 4N cores) on the same
   * input; reports throughput at both and efficiency = (tN/t4N)/4. ≥3 reps

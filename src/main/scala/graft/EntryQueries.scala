@@ -401,10 +401,12 @@ object EntryQueries {
     }),
 
     "top_closeness" -> ((s, d) => {
+      // TakeOrdered top-10 (per-partition top-k + driver merge of k rows)
+      // first; the rank window then runs over 10 rows, not all nodes
       val w = Window.orderBy(desc("closeness"), asc("id"))
       graft.algo.Closeness.forSources(s, g2(s, d), GraphOps.nodes(g2(s, d)))
+        .orderBy(desc("closeness"), asc("id")).limit(10)
         .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 10)
         .select(col("rank"), col("id"),
           round(col("closeness"), 6).as("closeness"),
           round(col("harmonic"), 6).as("harmonic"))

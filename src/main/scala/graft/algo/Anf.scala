@@ -89,6 +89,18 @@ object Anf {
     nf.find(_._2 >= ratio * nInf).map(_._1.toDouble).getOrElse(nf.last._1.toDouble)
   }
 
+  /** HopPlotApproximation (`distance/HopPlotApproximation.cpp` surface):
+    * the neighborhood function normalized by its limit — fraction of
+    * reachable pairs within h hops, per hop.
+    */
+  def hopPlot(spark: SparkSession, edges: DataFrame, r: Int = 8,
+              maxHops: Int = 64): DataFrame = {
+    val nf = neighborhoodFunction(spark, edges, r, maxHops)
+    val total = nf.agg(max("est_neighborhood")).head().getDouble(0)
+    nf.select(col("hop"),
+      (col("est_neighborhood") / total).as("fraction"))
+  }
+
   /** Exact hop-plot / exact effective diameter for verification: distances
     * from every node via batched multi-source BFS (small graphs only).
     */

@@ -53,27 +53,7 @@ object Betweenness {
     val n = nodes.count()
     val nSources = sourceIds.count()
     val sources = sourceIds.select(col("id").as("source"))
-
-    // ---- forward: (source, id, dist, sigma) --------------------------
-    var frontier = sources.select(col("source"), col("source").as("id"),
-      lit(0).as("dist"), lit(1.0).as("sigma"))
-      .transform(Materialize.checkpoint)
-    var paths = frontier
-    var depth = 0
-    while (frontier.take(1).nonEmpty && depth < maxDepth) {
-      depth += 1
-      val expanded = adj
-        .join(frontier.select(col("source"), col("id").as("src"), col("sigma")), "src")
-        .groupBy(col("source"), col("dst").as("id"))
-        .agg(sum("sigma").as("sigma"))
-      frontier = expanded
-        .join(paths.select("source", "id"), Seq("source", "id"), "left_anti")
-        .withColumn("dist", lit(depth))
-        .select("source", "id", "dist", "sigma")
-        .transform(Materialize.checkpoint)
-      if (frontier.take(1).nonEmpty)
-        paths = paths.unionByName(frontier).transform(Materialize.checkpoint)
-    }
+    val paths = sigmaBfs(adj, sources, maxDepth)
 
     // ---- backward: level-synchronous dependency accumulation ---------
     val maxLevel = paths.agg(max("dist")).head().getInt(0)
@@ -113,5 +93,138 @@ object Betweenness {
     else full.select(col("id"),
       (col("score") / ((n - 1.0) * (n - 2.0) / (if (directed) 1.0 else 2.0)))
         .as("score"))
+  }
+
+  /** Batched level-synchronous BFS with shortest-path counts: returns
+    * `(source, id, dist, sigma)` for every node reached from each source
+    * (Brandes' forward phase; shared by [[forSources]] and
+    * [[riondatoKornaropoulos]]).
+    */
+  private[algo] def sigmaBfs(adj: DataFrame, sources: DataFrame,
+                             maxDepth: Int): DataFrame = {
+    var frontier = sources.select(col("source"), col("source").as("id"),
+      lit(0).as("dist"), lit(1.0).as("sigma"))
+      .transform(Materialize.checkpoint)
+    var paths = frontier
+    var depth = 0
+    while (frontier.take(1).nonEmpty && depth < maxDepth) {
+      depth += 1
+      val expanded = adj
+        .join(frontier.select(col("source"), col("id").as("src"), col("sigma")), "src")
+        .groupBy(col("source"), col("dst").as("id"))
+        .agg(sum("sigma").as("sigma"))
+      frontier = expanded
+        .join(paths.select("source", "id"), Seq("source", "id"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .select("source", "id", "dist", "sigma")
+        .transform(Materialize.checkpoint)
+      if (frontier.take(1).nonEmpty)
+        paths = paths.unionByName(frontier).transform(Materialize.checkpoint)
+    }
+    paths
+  }
+
+  /** ApproxBetweenness (`centrality/ApproxBetweenness.cpp` — the
+    * Riondato–Kornaropoulos VC-dimension estimator): sample
+    * r = ⌈(c/ε²)·(⌊log₂(VD−2)⌋ + 1 + ln(1/δ))⌉ node pairs (s,t) and one
+    * uniform-random shortest s→t path each; score(v) = fraction of sampled
+    * paths with v interior, an additive-ε estimate (prob ≥ 1−δ) of
+    * normalized betweenness Σ_{s≠t} σ_st(v)/σ_st / (n(n−1)).
+    *
+    * VD (vertex diameter, #nodes on the longest shortest path) is bounded
+    * from one deterministic pivot BFS as 2·ecc(pivot)+1 — an over-estimate,
+    * hence conservative (more samples than strictly needed).
+    *
+    * Spark shape: all r pairs advance together. Forward = one batched
+    * sigma-BFS from the distinct sampled sources. Path sampling walks every
+    * pair backward one level per job; the predecessor of w is drawn
+    * ∝ sigma(pred) (uniform over shortest paths) via Efraimidis–Spirakis
+    * weighted sampling — argmin of −ln(u)/sigma with a counter-based
+    * uniform u — expressed as one `min_by` aggregation, so a hub's
+    * predecessor list never funnels into a single sorted group.
+    */
+  def riondatoKornaropoulos(spark: SparkSession, edges: DataFrame,
+                            eps: Double = 0.1, delta: Double = 0.1,
+                            c: Double = 0.5, seed: Long = 42,
+                            directed: Boolean = false,
+                            maxDepth: Int = 100): DataFrame = {
+    val base = edges.where(col("src") =!= col("dst"))
+    val adj = (if (directed) base.select("src", "dst").distinct()
+      else GraphOps.symmetrize(GraphOps.canonicalizeUnweighted(base))
+        .select("src", "dst"))
+      .transform(Materialize.checkpoint)
+    val nodes = GraphOps.nodes(base.select("src", "dst")
+      .withColumn("weight", lit(1.0)))
+    val n = nodes.count()
+    require(n >= 3, "RK approx betweenness needs at least 3 nodes")
+
+    // ---- sample size from the vertex-diameter bound ---------------------
+    val pivot = nodes.orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(1).select(col("id").as("source"))
+    val ecc = sigmaBfs(adj, pivot, maxDepth).agg(max("dist")).head().getInt(0)
+    val vd = math.max(2 * ecc + 1, 3)
+    val r = math.ceil(c / (eps * eps) *
+      (math.floor(math.log(math.max(vd - 2, 1)) / math.log(2)) + 1 +
+        math.log(1 / delta))).toLong
+
+    // ---- r deterministic (s,t) pairs: pick by dense node index ----------
+    val indexed = graft.core.DenseId.assign(nodes.select("id"), "idx", Seq("id"))
+      .transform(Materialize.checkpoint)
+    val picks = spark.range(r).select(col("id").as("pair"),
+      pmod(xxhash64(lit(seed), col("id") * 2), lit(n)).as("sIdx"),
+      pmod(xxhash64(lit(seed), col("id") * 2 + 1), lit(n)).as("tIdx"))
+      .where(col("sIdx") =!= col("tIdx"))
+    val pairs = picks
+      .join(indexed.select(col("idx").as("sIdx"), col("id").as("s")), "sIdx")
+      .join(indexed.select(col("idx").as("tIdx"), col("id").as("t")), "tIdx")
+      .select("pair", "s", "t")
+      .transform(Materialize.checkpoint)
+    // s==t collisions were dropped above; the estimator divides by the
+    // pairs actually sampled (unreachable pairs still count — RK semantics)
+    val actualR = pairs.count()
+
+    // ---- forward: batched sigma-BFS from the distinct sources -----------
+    val srcSet = pairs.select(col("s").as("source")).distinct()
+    val paths = sigmaBfs(adj, srcSet, maxDepth)
+      .transform(Materialize.checkpoint)
+
+    // ---- backward: every pair walks its sampled path one level per job --
+    var cur = pairs
+      .join(paths.select(col("source").as("s"), col("id").as("t"),
+        col("dist")), Seq("s", "t"))
+      .select(col("pair"), col("s").as("source"), col("t").as("w"),
+        col("dist").as("level"))
+      .transform(Materialize.checkpoint)
+    var interior = cur.select(col("w").as("id")).limit(0)
+      .transform(Materialize.checkpoint)
+    var maxLevel = cur.agg(coalesce(max("level"), lit(0))).head().getInt(0)
+    while (maxLevel >= 2) {
+      val active = cur.where(col("level") >= 2)
+      val cand = adj.select(col("src").as("v"), col("dst").as("w"))
+        .join(active, "w")
+        .join(paths.select(col("source"), col("id").as("v"),
+          col("dist").as("dv"), col("sigma").as("sigv")), Seq("source", "v"))
+        .where(col("dv") === col("level") - 1)
+      // Efraimidis–Spirakis: argmin of −ln(u)/sigma ⇒ P(v) = sigma_v/Σsigma
+      val u = (pmod(xxhash64(lit(seed ^ 0x51ED2700L), col("pair"),
+        col("level"), col("v")), lit(1000003L)).cast("double") + 0.5) / 1000003.0
+      val stepped = cand
+        .withColumn("key", -log(u) / col("sigv"))
+        .groupBy("pair")
+        .agg(min_by(struct(col("source"), col("v"), col("dv")), col("key"))
+          .as("pick"))
+        .select(col("pair"), col("pick.source").as("source"),
+          col("pick.v").as("w"), col("pick.dv").as("level"))
+        .transform(Materialize.checkpoint)
+      interior = interior.unionByName(stepped.select(col("w").as("id")))
+        .transform(Materialize.checkpoint)
+      cur = stepped
+      maxLevel = cur.agg(coalesce(max("level"), lit(0))).head().getInt(0)
+    }
+
+    val counts = interior.groupBy("id").agg(count(lit(1)).as("cnt"))
+    nodes.join(counts, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("cnt"), lit(0L)).cast("double") / actualR).as("score"))
   }
 }

@@ -268,10 +268,10 @@ object LinkPrediction {
       .select(col("score"), coalesce(col("pos"), lit(0)).as("pos"))
     val hist = labeled.groupBy("score")
       .agg(sum(col("pos")).as("np"), sum(lit(1) - col("pos")).as("nn"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("score")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val row = hist
-      .withColumn("negBelow", coalesce(sum("nn").over(w), lit(0L)))
+    // running negatives-below via the range-partitioned two-phase prefix
+    // sum — the per-score histogram can approach one row per prediction
+    // when scores are continuous, so a global window is not scale-safe
+    val row = graft.core.DenseId.prefixSum(hist, "nn", "negBelow", Seq("score"))
       .agg(sum(col("np") * (col("negBelow") + col("nn").cast("double") / 2)).as("num"),
         sum("np").as("p"), sum("nn").as("n"))
       .head()
@@ -289,5 +289,63 @@ object LinkPrediction {
     val top = predictions.orderBy(desc("score"), asc("a"), asc("b")).limit(k)
     val hits = top.join(positives, Seq("a", "b"), "left_semi").count()
     hits.toDouble / k
+  }
+
+  /** MissingLinksFinder (`linkprediction/MissingLinksFinder.cpp`): the k
+    * highest-scored candidate pairs that are NOT existing edges — top-k via
+    * sort-limit (TakeOrdered: per-partition top-k + driver merge of k rows,
+    * no global sort).
+    */
+  def missingLinks(predictions: DataFrame, edges: DataFrame,
+                   k: Int): DataFrame =
+    predictions
+      .join(GraphOps.canonicalizeUnweighted(
+          edges.where(col("src") =!= col("dst")))
+        .select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .orderBy(desc("score"), asc("a"), asc("b")).limit(k)
+
+  /** LinkThresholder (`linkprediction/LinkThresholder.cpp`):
+    * byScore / byCount / byPercentage selection over a prediction table.
+    */
+  def thresholdByScore(predictions: DataFrame, minScore: Double): DataFrame =
+    predictions.where(col("score") >= minScore)
+
+  def thresholdByCount(predictions: DataFrame, k: Int): DataFrame =
+    predictions.orderBy(desc("score"), asc("a"), asc("b")).limit(k)
+
+  def thresholdByPercentage(predictions: DataFrame, pct: Double): DataFrame = {
+    val k = math.max(1, (predictions.count() * pct).toInt)
+    thresholdByCount(predictions, k)
+  }
+
+  /** PredictionsSorter (`linkprediction/PredictionsSorter.cpp`): descending
+    * score, ties ascending (a, b) — the reference's concrete comparator.
+    */
+  def sortPredictions(predictions: DataFrame): DataFrame =
+    predictions.orderBy(desc("score"), asc("a"), asc("b"))
+
+  /** AlgebraicDistanceIndex (`linkprediction/AlgebraicDistanceIndex.cpp`):
+    * score = algebraic distance between the endpoints (max-norm gap of the
+    * Jacobi-smoothed coordinate vectors, [[AlgebraicDistance]]); SMALLER
+    * means more likely — the reference returns the raw distance too.
+    * Candidate universe = all pairs a < b < maxNodeId, matching the other
+    * indices' evaluation surface.
+    */
+  def algebraicDistanceIndex(spark: SparkSession, edges: DataFrame,
+                             maxNodeId: Long, systems: Int = 2,
+                             iters: Int = 5, omega: Double = 0.5,
+                             seed: Long = 42): DataFrame = {
+    val coords = AlgebraicDistance
+      .coordinates(spark, edges, systems, iters, omega, seed)
+      .where(col("id") < maxNodeId)
+    val cols = (0 until systems).map(s => s"x$s")
+    coords.select(col("id").as("a") +: cols.map(c => col(c).as(s"u_$c")): _*)
+      .join(coords.select(
+        col("id").as("b") +: cols.map(c => col(c).as(s"v_$c")): _*),
+        col("a") < col("b"))
+      .select(col("a"), col("b"),
+        greatest(cols.map(c => abs(col(s"u_$c") - col(s"v_$c"))): _*)
+          .as("score"))
   }
 }

@@ -134,6 +134,154 @@ object Generators {
       .where(col("src") =!= col("dst"))
   }
 
+  /** ClusteredRandomGraphGenerator
+    * (`generators/ClusteredRandomGraphGenerator.cpp` semantics,
+    * determinized): k contiguous equal communities, intra-community edge
+    * probability pin, inter pout. Realized as the union of two independent
+    * geometric-skip ER processes — a full-range G(n, pout) plus an
+    * in-community G(range, p1) with p1 = (pin−pout)/(1−pout), so the union
+    * hits exactly pin within communities and pout across. O(m), no pair
+    * enumeration; ground-truth labels = id / ⌈n/k⌉.
+    */
+  def clusteredRandom(spark: SparkSession, n: Long, k: Int,
+                      pin: Double, pout: Double,
+                      seed: Long = 42): DataFrame = {
+    import spark.implicits._
+    require(pin >= pout, "clusteredRandom needs pin >= pout")
+    val size = math.max(1L, (n + k - 1) / k)
+    val p1 = (pin - pout) / (1.0 - pout)
+    val intra =
+      if (p1 <= 0) spark.emptyDataset[(Long, Long, Double)].toDF("src", "dst", "weight")
+      else {
+        val log1mp = math.log1p(-p1)
+        spark.range(n).flatMap { uBoxed =>
+          val u: Long = uBoxed.longValue
+          val end = math.min(((u / size) + 1) * size, n)
+          Iterator.unfold((u, 0)) { case (v, i) =>
+            val h = PageGen.mix64(PageGen.mix64(seed ^ 0x5DEECE66DL ^ u) ^ i.toLong)
+            val r = math.max((h >>> 11).toDouble / (1L << 53).toDouble, 1e-300)
+            val skip = 1L + math.floor(math.log(r) / log1mp).toLong
+            val next = v + skip
+            if (next >= end) None else Some(((u, next, 1.0), (next, i + 1)))
+          }
+        }.toDF("src", "dst", "weight")
+      }
+    val inter = if (pout <= 0)
+      spark.emptyDataset[(Long, Long, Double)].toDF("src", "dst", "weight")
+    else erdosRenyi(spark, n, pout, seed ^ 0x2545F4914F6CDD1DL)
+    intra.unionByName(inter).select("src", "dst").distinct()
+      .withColumn("weight", lit(1.0))
+  }
+
+  /** Ground-truth community labels for [[clusteredRandom]]. */
+  def clusteredRandomLabels(spark: SparkSession, n: Long, k: Int): DataFrame = {
+    val size = math.max(1L, (n + k - 1) / k)
+    spark.range(n).select(col("id"), (col("id") / size).cast("long").as("label"))
+  }
+
+  /** Deterministic power-law community layout shared by [[lfrLike]] and
+    * [[lfrLikeLabels]]: sizes s_j = minCommunity·u_j^(−1/(τ2−1)) (capped at
+    * n/4), appended until they cover n (last one trimmed). Driver-side —
+    * k ≤ n/minCommunity entries, control-plane-sized.
+    */
+  private def communityLayout(n: Long, tau2: Double, minCommunity: Long,
+                              seed: Long): (Array[Long], Array[Long]) = {
+    val maxCommunity = math.max(minCommunity, n / 4)
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var total = 0L
+    var j = 0
+    while (total < n) {
+      val h = PageGen.mix64(seed ^ 0x1FC0DEL ^ j.toLong)
+      val u = math.max((h >>> 11).toDouble / (1L << 53).toDouble, 1e-12)
+      val raw = (minCommunity * math.pow(u, -1.0 / (tau2 - 1.0))).toLong
+      val sz = math.min(math.min(math.max(raw, minCommunity), maxCommunity),
+        n - total)
+      starts += total; sizes += sz; total += sz; j += 1
+    }
+    (starts.toArray, sizes.toArray)
+  }
+
+  /** LFR-style community benchmark graph
+    * (`generators/LFRGenerator.cpp` WHAT: power-law degree sequence with
+    * exponent τ1, power-law community sizes with exponent τ2, mixing
+    * parameter μ = the fraction of each node's edges leaving its
+    * community), determinized and re-expressed as two O(m) edge-list
+    * Chung–Lu processes — (1−μ) of the edge budget drawn inside contiguous
+    * community blocks with block-local rank weights, μ drawn globally and
+    * kept only when it crosses communities. No configuration-model
+    * stub-matching (that is inherently sequential); degrees follow the
+    * rank-weighted power law in expectation, which is what the benchmark
+    * consumers here (PLP/PLM quality tests) need. Pure function of its
+    * parameters; ground truth via [[lfrLikeLabels]].
+    */
+  def lfrLike(spark: SparkSession, n: Long, tau1: Double = 2.5,
+              tau2: Double = 1.5, mu: Double = 0.2, avgDeg: Double = 10.0,
+              minCommunity: Long = 20L, seed: Long = 42): DataFrame = {
+    import spark.implicits._
+    require(mu >= 0.0 && mu <= 1.0, "mixing parameter must be in [0,1]")
+    require(tau1 > 2.0 && tau2 > 1.0, "LFR exponents need tau1>2, tau2>1")
+    val (starts, sizes) = communityLayout(n, tau2, minCommunity, seed)
+    val invExp = 1.0 / (1.0 - 1.0 / (tau1 - 1.0))
+    def pick(h: Long, range: Long): Long = {
+      val u = math.max((h >>> 11).toDouble / (1L << 53).toDouble, 1e-12)
+      math.min((range * math.pow(u, invExp)).toLong, range - 1)
+    }
+    def commOf(i: Long): Int = {
+      var lo = 0; var hi = starts.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (starts(mid) <= i) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    val mPer = sizes.map(s => math.max(0L, math.round((1 - mu) * avgDeg * s / 2)))
+    val offs = mPer.scanLeft(0L)(_ + _)
+    val intra = spark.range(offs.last).flatMap { eBoxed =>
+      val e: Long = eBoxed.longValue
+      var lo = 0; var hi = offs.length - 2
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (offs(mid) <= e) lo = mid else hi = mid - 1
+      }
+      val sz = sizes(lo); val st = starts(lo)
+      if (sz < 2) Iterator.empty
+      else {
+        val h1 = PageGen.mix64(PageGen.mix64(seed ^ e) ^ 0x9E3779B97F4A7C15L)
+        val h2 = PageGen.mix64(PageGen.mix64(seed ^ e) ^ 0xC2B2AE3D27D4EB4FL)
+        val a = st + pick(h1, sz); val b = st + pick(h2, sz)
+        if (a == b) Iterator.empty
+        else Iterator((math.min(a, b), math.max(a, b)))
+      }
+    }.toDF("src", "dst")
+    val interM = math.round(mu * avgDeg * n / 2)
+    val inter = spark.range(interM).flatMap { eBoxed =>
+      val e: Long = eBoxed.longValue
+      val h1 = PageGen.mix64(PageGen.mix64(seed ^ 0x7E57EDL ^ e) ^ 0x9E3779B97F4A7C15L)
+      val h2 = PageGen.mix64(PageGen.mix64(seed ^ 0x7E57EDL ^ e) ^ 0xC2B2AE3D27D4EB4FL)
+      val a = pick(h1, n); val b = pick(h2, n)
+      if (a == b || commOf(a) == commOf(b)) Iterator.empty
+      else Iterator((math.min(a, b), math.max(a, b)))
+    }.toDF("src", "dst")
+    intra.unionByName(inter).distinct().withColumn("weight", lit(1.0))
+  }
+
+  /** Ground-truth community labels for [[lfrLike]] (same layout seed). */
+  def lfrLikeLabels(spark: SparkSession, n: Long, tau2: Double = 1.5,
+                    minCommunity: Long = 20L, seed: Long = 42): DataFrame = {
+    import spark.implicits._
+    val (starts, _) = communityLayout(n, tau2, minCommunity, seed)
+    spark.range(n).map { iBoxed =>
+      val i: Long = iBoxed.longValue
+      var lo = 0; var hi = starts.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (starts(mid) <= i) lo = mid else hi = mid - 1
+      }
+      (i, lo.toLong)
+    }.toDF("id", "label")
+  }
+
   /** Hyperbolic random graph, threshold regime T = 0
     * (`generators/HyperbolicGenerator.h:13-23` / `HyperbolicGenerator.cpp`
     * generateCold): nodes at polar positions (θ uniform, r by the

@@ -72,13 +72,17 @@ object StronglyConnectedComponents {
       }
       if (remaining > 0) {
         // ---- 2. forward max-coloring to fixpoint -------------------------
+        // the live edge set is loop-invariant here: partition it by src once
+        // so each propagation sweep shuffles only the node-sized frontier
+        val liveP = live.repartition(col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         var colors = liveNodes.select(col("id"), col("id").as("color"),
           lit(true).as("changed")).transform(Materialize.checkpoint)
         var changed = 1L
         while (changed > 0) {
           val frontier = colors.where(col("changed"))
             .select(col("id").as("src"), col("color"))
-          val prop = live.join(frontier, "src")
+          val prop = liveP.join(frontier, "src")
             .groupBy(col("dst").as("id"))
             .agg(max("color").as("prop"))
           colors = colors.select("id", "color").join(prop, Seq("id"), "left")
@@ -87,7 +91,30 @@ object StronglyConnectedComponents {
               (col("prop").isNotNull && col("prop") > col("color")).as("changed"))
             .transform(Materialize.checkpoint)
           changed = colors.where(col("changed")).count()
+          // pointer-jump acceleration: color(v)=u means u reaches v, and
+          // color(u)=w means w reaches u, so w reaches v — take
+          // color ← max(color, color(color)) to a fixpoint. Propagation
+          // distance doubles per jump, so path-shaped regions converge in
+          // O(log diameter) edge sweeps instead of O(diameter). Sound to
+          // stop on edge-sweep fixpoint: there, color(v) ≥ color(color(v))
+          // already holds (colors are ≥ own id and monotone along edges).
+          var jumped = if (changed > 0) 1L else 0L
+          while (jumped > 0) {
+            val parents = colors
+              .select(col("id").as("color"), col("color").as("pcolor"))
+            val nxt = colors.join(parents, Seq("color"), "left")
+              .select(col("id"), col("changed"), col("color"),
+                greatest(col("color"), coalesce(col("pcolor"), col("color")))
+                  .as("color2"))
+              .select(col("id"), col("color2").as("color"),
+                (col("changed") || col("color2") =!= col("color")).as("changed"),
+                (col("color2") =!= col("color")).as("moved"))
+              .transform(Materialize.checkpoint)
+            jumped = nxt.where(col("moved")).count()
+            colors = nxt.select("id", "color", "changed")
+          }
         }
+        liveP.unpersist(blocking = false)
         val colorOf = colors.select("id", "color")
         // ---- 3. backward reach from all roots within equal color --------
         val roots = colorOf.where(col("id") === col("color")).select(col("id"))
@@ -98,16 +125,19 @@ object StronglyConnectedComponents {
             .withColumnRenamed("color", "cdst"), "dst")
           .where(col("csrc") === col("cdst"))
           .select(col("dst").as("from"), col("src").as("to"))
+          .repartition(col("from")) // loop-invariant: partition on join key
           .transform(Materialize.checkpoint)
         var visited = roots.select(col("id"), col("id").as("root"))
           .transform(Materialize.checkpoint)
         var frontier = visited
-        while (frontier.take(1).nonEmpty) {
+        var fSize = frontier.count()
+        while (fSize > 0) {
           val expanded = rev.join(frontier.select(col("id").as("from"), col("root")), "from")
             .select(col("to").as("id"), col("root")).distinct()
           frontier = expanded.join(visited.select("id"), Seq("id"), "left_anti")
             .transform(Materialize.checkpoint)
-          if (frontier.take(1).nonEmpty)
+          fSize = frontier.count()
+          if (fSize > 0)
             visited = visited.unionByName(frontier).transform(Materialize.checkpoint)
         }
         // a node reaching multiple roots is impossible within equal color:

@@ -48,4 +48,33 @@ object DenseId {
       .drop("_pid", "_offset")
     out
   }
+
+  /** Exclusive prefix sum of `valueCol` over ascending `sortCols` order,
+    * added as `outCol` (DOUBLE) — same two-phase range-partitioned scheme
+    * as [[assign]], so no global single-partition window. Used by e.g.
+    * ROC-AUC (negatives-below-score) where the running total must scale
+    * past one task.
+    */
+  def prefixSum(df: DataFrame, valueCol: String, outCol: String,
+                sortCols: Seq[String]): DataFrame = {
+    val cols: Seq[Column] = sortCols.map(col)
+    val parted = df.repartitionByRange(cols: _*)
+      .withColumn("_pid", spark_partition_id())
+    parted.persist()
+    val offsets = parted.groupBy("_pid")
+      .agg(sum(col(valueCol)).cast("double").as("_sum"))
+      .withColumn("_offset",
+        coalesce(sum("_sum").over(
+          Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0.0)))
+      .select("_pid", "_offset")
+    val w = Window.partitionBy("_pid").orderBy(cols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn(outCol,
+        coalesce(sum(col(valueCol)).over(w).cast("double"), lit(0.0))
+          + col("_offset"))
+      .drop("_pid", "_offset")
+  }
 }

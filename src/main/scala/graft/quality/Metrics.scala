@@ -152,4 +152,16 @@ object Metrics {
     val denom = aPairs + bPairs - s11
     if (denom == 0.0) 1.0 else s11 / denom
   }
+
+  /** DynamicNMIDistance (`community/DynamicNMIDistance.cpp`): NMI distance
+    * between a partition before and after a dynamic update, where the node
+    * sets may differ (added/removed nodes) — the reference restricts to
+    * nodes present in BOTH snapshots; here the inner contingency join does
+    * exactly that. Returns 1 − NMI (the reference reports a distance).
+    */
+  def dynamicNmiDistance(spark: SparkSession, before: DataFrame,
+                         after: DataFrame): Double =
+    1.0 - nmi(spark,
+      before.join(after.select("id"), Seq("id"), "left_semi"),
+      after.join(before.select("id"), Seq("id"), "left_semi"))
 }

@@ -285,6 +285,67 @@ class Round3Spec extends SparkTestBase {
     assert(again == got)
   }
 
+  // -------------------------------------------- link-prediction utilities
+  test("missing links finder, thresholder, sorter") {
+    val s = spark
+    import s.implicits._
+    val preds = Seq((0L, 1L, 0.9), (0L, 2L, 0.8), (1L, 2L, 0.7),
+      (1L, 3L, 0.4)).toDF("a", "b", "score")
+    val edges = edgeDF(undirected((0L, 1L)))
+    val miss = LinkPrediction.missingLinks(preds, edges, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(miss.toSeq == Seq((0L, 2L), (1L, 2L))) // (0,1) excluded, sorted
+    assert(LinkPrediction.thresholdByScore(preds, 0.7).count() == 3)
+    assert(LinkPrediction.thresholdByCount(preds, 2).count() == 2)
+    assert(LinkPrediction.thresholdByPercentage(preds, 0.5).count() == 2)
+    val sorted = LinkPrediction.sortPredictions(preds)
+      .collect().map(_.getDouble(2))
+    assert(sorted.toSeq == sorted.sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  // ------------------------------------------------------------- hop plot
+  test("hop plot: monotone fractions reaching 1") {
+    val edges = edgeDF(undirected((0L, 1L), (1L, 2L), (2L, 3L)))
+    val hp = Anf.hopPlot(spark, edges).orderBy("hop")
+      .collect().map(_.getDouble(1))
+    assert(hp.last == 1.0)
+    assert(hp.zip(hp.tail).forall { case (x, y) => x <= y + 1e-12 })
+  }
+
+  // -------------------------------------------- clustered random generator
+  test("clustered random generator: planted partition is denser inside") {
+    val n = 600L
+    val k = 3
+    val g = Generators.clusteredRandom(spark, n, k, pin = 0.05, pout = 0.002)
+      .persist()
+    val labels = Generators.clusteredRandomLabels(spark, n, k)
+    val withL = g
+      .join(labels.withColumnRenamed("id", "src").withColumnRenamed("label", "ls"), "src")
+      .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "ld"), "dst")
+    val intra = withL.where(col("ls") === col("ld")).count()
+    val inter = withL.where(col("ls") =!= col("ld")).count()
+    // expected: intra ≈ 3·(200·199/2)·0.05 ≈ 2985, inter ≈ 0.002·3·200·400/2·... — just
+    // require the density gap and determinism
+    val intraPairs = 3.0 * 200 * 199 / 2
+    val interPairs = n.toDouble * (n - 1) / 2 - intraPairs
+    assert(intra / intraPairs > 5 * (inter / interPairs))
+    val g2 = Generators.clusteredRandom(spark, n, k, pin = 0.05, pout = 0.002)
+    assert(g2.count() == g.count())
+    g.unpersist()
+  }
+
+  // ------------------------------------------------------- dynamic NMI
+  test("dynamic NMI distance restricts to the common node set") {
+    val s = spark
+    import s.implicits._
+    val before = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)).toDF("id", "label")
+    // after: same communities on shared nodes, plus a brand-new node
+    val after = Seq((0L, 5L), (1L, 5L), (2L, 7L), (3L, 7L), (9L, 9L))
+      .toDF("id", "label")
+    val d = graft.quality.Metrics.dynamicNmiDistance(spark, before, after)
+    assert(math.abs(d) < 1e-9)
+  }
+
   // ------------------------------------------------------------ edge ids
   test("indexEdges: dense 0-based ids in canonical (src, dst) order") {
     val edges = edgeDF(undirected((3L, 1L), (0L, 2L), (1L, 0L), (2L, 3L)))

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.algo._
+import graft.core.GraphOps
+
+/** Round-2 continuation: RK approximate betweenness, LFR-style generator,
+  * algebraic-distance link-prediction index, scalable prefix sum.
+  */
+class Round4Spec extends SparkTestBase {
+
+  // ------------------------------------------- RK approximate betweenness
+  test("RK approx betweenness: additive-eps agreement with exact Brandes") {
+    val s = spark
+    import s.implicits._
+    // barbell: two triangles joined by a path — clear interior nodes
+    val edges = edgeDF(undirected(
+      (0L, 1L), (1L, 2L), (0L, 2L),
+      (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)))
+    val n = 7.0
+    val exact = Betweenness.forSources(spark, edges,
+        GraphOps.nodes(edges).select("id"), scaleToFullGraph = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // RK estimates Σ_{s≠t} σ_st(v)/σ_st / (n(n−1)) = 2·b(v)/(n(n−1))
+    val expected = exact.view.mapValues(b => 2 * b / (n * (n - 1))).toMap
+    val eps = 0.15
+    val approx = Betweenness.riondatoKornaropoulos(spark, edges,
+        eps = eps, delta = 0.1, seed = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, e) <- expected)
+      assert(math.abs(approx(id) - e) <= eps,
+        s"node $id: approx ${approx(id)} vs expected $e")
+    // determinism
+    val again = Betweenness.riondatoKornaropoulos(spark, edges,
+        eps = eps, delta = 0.1, seed = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == approx)
+  }
+
+  test("RK approx betweenness: path interior dominates endpoints") {
+    val edges = edgeDF(undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)))
+    val scores = Betweenness.riondatoKornaropoulos(spark, edges,
+        eps = 0.2, delta = 0.1, seed = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(2L) > scores(0L) && scores(2L) > scores(4L))
+    assert(scores(0L) == 0.0 && scores(4L) == 0.0)
+  }
+
+  // --------------------------------------------------- LFR-style generator
+  test("LFR-like: sizes cover n, labels consistent, mixing near mu") {
+    val n = 2000L
+    val g = Generators.lfrLike(spark, n, mu = 0.15, avgDeg = 12.0,
+      minCommunity = 50L).persist()
+    val labels = Generators.lfrLikeLabels(spark, n, minCommunity = 50L)
+    assert(labels.count() == n)
+    assert(labels.agg(countDistinct("label")).head().getLong(0) > 1)
+    val withL = g
+      .join(labels.withColumnRenamed("id", "src")
+        .withColumnRenamed("label", "ls"), "src")
+      .join(labels.withColumnRenamed("id", "dst")
+        .withColumnRenamed("label", "ld"), "dst")
+    val inter = withL.where(col("ls") =!= col("ld")).count()
+    val total = g.count()
+    val mixing = inter.toDouble / total
+    // drawn budget is mu of edges; dedup/self-loop losses shift it a little
+    assert(mixing > 0.03 && mixing < 0.35, s"mixing $mixing out of range")
+    // determinism
+    assert(Generators.lfrLike(spark, n, mu = 0.15, avgDeg = 12.0,
+      minCommunity = 50L).count() == total)
+    // PLM on a well-separated LFR graph should score high modularity
+    val plm = PLM.run(spark, g)
+    val q = graft.quality.Metrics.modularity(spark, g, plm.labels)
+    assert(q > 0.5, s"modularity $q too low for mu=0.15")
+    g.unpersist()
+  }
+
+  // ------------------------------------------- algebraic-distance LP index
+  test("algebraic distance index: intra-cluster pairs closer than bridge") {
+    // two triangles joined by one bridge edge
+    val edges = edgeDF(undirected(
+      (0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L),
+      (2L, 3L)))
+    val scores = LinkPrediction.algebraicDistanceIndex(spark, edges,
+        maxNodeId = 6L, systems = 4, iters = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val intra = Seq((0L, 1L), (0L, 2L), (3L, 4L), (4L, 5L)).map(scores)
+    val cross = Seq((0L, 4L), (1L, 5L), (0L, 5L)).map(scores)
+    assert(intra.max < cross.min,
+      s"intra ${intra.max} should be < cross ${cross.min}")
+  }
+
+  // ------------------------------------------------------ scalable prefix
+  test("prefixSum: exclusive running total matches sequential scan") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i.toLong, (i % 7 + 1).toDouble))
+      .toDF("k", "v")
+    val got = graft.core.DenseId.prefixSum(df, "v", "acc", Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    var run = 0.0
+    for (((k, acc), i) <- got.zipWithIndex) {
+      assert(k == i + 1)
+      assert(math.abs(acc - run) < 1e-9, s"k=$k acc=$acc expected $run")
+      run += (k % 7 + 1).toDouble
+    }
+  }
+
+  test("aucRoc unchanged by the partitioned prefix sum (known AUC)") {
+    val s = spark
+    import s.implicits._
+    // perfect separation → AUC 1; reversed → 0; interleaved → 0.5
+    val preds = Seq((0L, 1L, 0.9), (0L, 2L, 0.8), (0L, 3L, 0.2),
+      (0L, 4L, 0.1)).toDF("a", "b", "score")
+    val pos = Seq((0L, 1L), (0L, 2L)).toDF("a", "b")
+    assert(math.abs(LinkPrediction.aucRoc(spark, preds, pos) - 1.0) < 1e-9)
+    val posRev = Seq((0L, 3L), (0L, 4L)).toDF("a", "b")
+    assert(math.abs(LinkPrediction.aucRoc(spark, preds, posRev) - 0.0) < 1e-9)
+  }
+}
