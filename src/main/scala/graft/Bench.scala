@@ -84,6 +84,27 @@ object Bench {
       algo.StronglyConnectedComponents.run(spark, edges)
         .agg(max("component")).head()
     }
+    // reference-bench parity (`benchmark/nk.py:21-80` benches CC,
+    // CoreDecomposition, BFS, PLM, PLP, Diameter):
+    freeIterationStates()
+    results("bfs") = time {
+      val sources = nodes.orderBy(xxhash64(col("id"), lit(1L)), col("id"))
+        .limit(4).select("id")
+      algo.SSSP.bfs(spark, edges, sources).agg(max("dist")).head()
+    }
+    freeIterationStates()
+    results("kcore") = time {
+      algo.Centrality.coreDecomposition(spark, edges)
+        .agg(max("coreness")).head()
+    }
+    freeIterationStates()
+    results("plm") = time {
+      algo.PLM.run(spark, edges).labels.agg(countDistinct("label")).head()
+    }
+    freeIterationStates()
+    results("diameter") = time {
+      algo.Diameter.exact(spark, edges)
+    }
     // Drop everything the graph section pinned (persisted inputs + the
     // final localCheckpoint state of every iterative job — those leak into
     // the block manager otherwise and degrade later queries: BASELINE.md

@@ -495,6 +495,25 @@ object EntryQueries {
           round(col("j"), 6).as("jaccard_sim"))
     }),
 
+    "q_nmi" -> ((s, d) => {
+      val nodes = GraphOps.nodes(g1Canon(s, d))
+      val pa = nodes.select(col("id"), (col("id") % 10).as("label"))
+      val pb = nodes.select(col("id"), (col("id") % 7).as("label"))
+      import s.implicits._
+      Seq(Metrics.nmi(s, pa, pb)).toDF("nmi")
+        .select(round(col("nmi"), 6).as("nmi"))
+    }),
+
+    "q_dyn_nmi" -> ((s, d) => {
+      val nodes = GraphOps.nodes(g1Canon(s, d))
+      val before = nodes.select(col("id"), (col("id") % 10).as("label"))
+      val after = nodes.where(col("id") < 500)
+        .select(col("id"), (col("id") % 7).as("label"))
+      import s.implicits._
+      Seq(Metrics.dynamicNmiDistance(s, before, after)).toDF("dd")
+        .select(round(col("dd"), 6).as("dyn_nmi_distance"))
+    }),
+
     // ---- link prediction ------------------------------------------------
     "lp_common_neighbors" -> ((s, d) =>
       LinkPrediction.commonNeighbors(s, g1Simple(s, d), maxNodeId = 100)
@@ -1373,6 +1392,35 @@ ORDER BY src, dst""")
          |SELECT round((pa.p + pb.p - 2 * s11.s) / (tot.nn * (tot.nn - 1) / 2.0), 6) AS rand_dissimilarity,
          |  round(s11.s / (pa.p + pb.p - s11.s), 6) AS jaccard_sim
          |FROM pa, pb, s11, tot""".stripMargin,
+
+    "q_nmi" ->
+      s"""WITH $G1SQL,
+         |cont AS (SELECT a.id % 10 AS x, a.id % 7 AS y, count(*) AS n FROM nodes a GROUP BY 1, 2),
+         |tot AS (SELECT sum(n) * 1.0 AS nn FROM cont),
+         |ha AS (SELECT -sum((t.s / tot.nn) * ln(t.s / tot.nn)) AS h
+         |  FROM (SELECT sum(n) * 1.0 AS s FROM cont GROUP BY x) t, tot),
+         |hb AS (SELECT -sum((t.s / tot.nn) * ln(t.s / tot.nn)) AS h
+         |  FROM (SELECT sum(n) * 1.0 AS s FROM cont GROUP BY y) t, tot),
+         |ma AS (SELECT x, sum(n) * 1.0 AS m FROM cont GROUP BY x),
+         |mb AS (SELECT y, sum(n) * 1.0 AS m FROM cont GROUP BY y),
+         |mi AS (SELECT sum((c.n / tot.nn) * ln((c.n * tot.nn) / (ma.m * mb.m))) AS v
+         |  FROM cont c JOIN ma USING (x) JOIN mb USING (y), tot)
+         |SELECT round(mi.v / greatest(ha.h, hb.h), 6) AS nmi FROM mi, ha, hb""".stripMargin,
+
+    "q_dyn_nmi" ->
+      s"""WITH $G1SQL,
+         |common AS (SELECT id FROM nodes WHERE id < 500),
+         |cont AS (SELECT c.id % 10 AS x, c.id % 7 AS y, count(*) AS n FROM common c GROUP BY 1, 2),
+         |tot AS (SELECT sum(n) * 1.0 AS nn FROM cont),
+         |ha AS (SELECT -sum((t.s / tot.nn) * ln(t.s / tot.nn)) AS h
+         |  FROM (SELECT sum(n) * 1.0 AS s FROM cont GROUP BY x) t, tot),
+         |hb AS (SELECT -sum((t.s / tot.nn) * ln(t.s / tot.nn)) AS h
+         |  FROM (SELECT sum(n) * 1.0 AS s FROM cont GROUP BY y) t, tot),
+         |ma AS (SELECT x, sum(n) * 1.0 AS m FROM cont GROUP BY x),
+         |mb AS (SELECT y, sum(n) * 1.0 AS m FROM cont GROUP BY y),
+         |mi AS (SELECT sum((c.n / tot.nn) * ln((c.n * tot.nn) / (ma.m * mb.m))) AS v
+         |  FROM cont c JOIN ma USING (x) JOIN mb USING (y), tot)
+         |SELECT round(1.0 - mi.v / greatest(ha.h, hb.h), 6) AS dyn_nmi_distance FROM mi, ha, hb""".stripMargin,
 
     "lp_common_neighbors" ->
       s"""WITH $G1SQL,

@@ -96,6 +96,17 @@ object SSSP {
                    sources: DataFrame): DataFrame =
     bfs(spark, edges, sources)
       .groupBy(col("source").as("id")).agg(max("dist").as("eccentricity"))
+
+  /** APSP (`distance/APSP.cpp` surface): all-pairs hop distances — the
+    * batched multi-source BFS with every node a source. Θ(n·m) work and an
+    * n²-row result by definition; at web scale use [[bfs]] with a
+    * restricted source set (the reference's APSP is likewise an all-source
+    * convenience over per-source traversals, not a smarter algorithm).
+    */
+  def apsp(spark: SparkSession, edges: DataFrame,
+           directed: Boolean = false): DataFrame =
+    bfs(spark, edges, GraphOps.nodes(edges).select("id"), directed)
+      .select("source", "id", "dist")
 }
 
 /** Graph contraction by partition (`coarsening/ParallelPartitionCoarsening

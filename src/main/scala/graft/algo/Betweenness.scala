@@ -148,13 +148,9 @@ object Betweenness {
                             c: Double = 0.5, seed: Long = 42,
                             directed: Boolean = false,
                             maxDepth: Int = 100): DataFrame = {
-    val base = edges.where(col("src") =!= col("dst"))
-    val adj = (if (directed) base.select("src", "dst").distinct()
-      else GraphOps.symmetrize(GraphOps.canonicalizeUnweighted(base))
-        .select("src", "dst"))
-      .transform(Materialize.checkpoint)
-    val nodes = GraphOps.nodes(base.select("src", "dst")
-      .withColumn("weight", lit(1.0)))
+    val adj = rkAdj(edges, directed)
+    val nodes = GraphOps.nodes(edges.where(col("src") =!= col("dst"))
+      .select("src", "dst").withColumn("weight", lit(1.0)))
     val n = nodes.count()
     require(n >= 3, "RK approx betweenness needs at least 3 nodes")
 
@@ -166,6 +162,36 @@ object Betweenness {
     val r = math.ceil(c / (eps * eps) *
       (math.floor(math.log(math.max(vd - 2, 1)) / math.log(2)) + 1 +
         math.log(1 / delta))).toLong
+    rkScores(spark, edges, rkInit(spark, edges, r, seed, directed, maxDepth))
+  }
+
+  /** Incremental-RK state: the sampled pairs, per-source sigma-BFS tables,
+    * and the sampled-path interior nodes per pair ([[rkInit]] /
+    * [[rkInsertEdges]] / [[rkScores]] — the `DynApproxBetweenness.cpp`
+    * surface: keep the sample, repair only what an update touches).
+    */
+  final case class RkState(pairs: DataFrame, paths: DataFrame,
+                           interior: DataFrame, r: Long, seed: Long,
+                           directed: Boolean)
+
+  private def rkAdj(edges: DataFrame, directed: Boolean): DataFrame = {
+    val base = edges.where(col("src") =!= col("dst"))
+    (if (directed) base.select("src", "dst").distinct()
+     else GraphOps.symmetrize(GraphOps.canonicalizeUnweighted(base))
+       .select("src", "dst"))
+      .transform(Materialize.checkpoint)
+  }
+
+  /** Build the RK sample state over `edges` with an explicit sample size
+    * `r` (callers derive r from ε/δ — [[riondatoKornaropoulos]] — or keep
+    * a previous state's r across dynamic updates).
+    */
+  def rkInit(spark: SparkSession, edges: DataFrame, r: Long, seed: Long,
+             directed: Boolean = false, maxDepth: Int = 100): RkState = {
+    val adj = rkAdj(edges, directed)
+    val nodes = GraphOps.nodes(edges.where(col("src") =!= col("dst"))
+      .select("src", "dst").withColumn("weight", lit(1.0)))
+    val n = nodes.count()
 
     // ---- r deterministic (s,t) pairs: pick by dense node index ----------
     val indexed = graft.core.DenseId.assign(nodes.select("id"), "idx", Seq("id"))
@@ -183,19 +209,102 @@ object Betweenness {
     // pairs actually sampled (unreachable pairs still count — RK semantics)
     val actualR = pairs.count()
 
-    // ---- forward: batched sigma-BFS from the distinct sources -----------
     val srcSet = pairs.select(col("s").as("source")).distinct()
     val paths = sigmaBfs(adj, srcSet, maxDepth)
       .transform(Materialize.checkpoint)
+    val interior = samplePaths(adj, pairs, paths, seed)
+    RkState(pairs, paths, interior, actualR, seed, directed)
+  }
 
-    // ---- backward: every pair walks its sampled path one level per job --
+  /** Estimated normalized betweenness from an RK state; `edges` supplies
+    * the node universe (nodes never reached by any sampled source score 0).
+    */
+  def rkScores(spark: SparkSession, edges: DataFrame,
+               state: RkState): DataFrame = {
+    val nodes = GraphOps.nodes(edges.where(col("src") =!= col("dst"))
+      .select("src", "dst").withColumn("weight", lit(1.0)))
+    val counts = state.interior.groupBy("id").agg(count(lit(1)).as("cnt"))
+    nodes.join(counts, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("cnt"), lit(0L)).cast("double") / state.r).as("score"))
+  }
+
+  /** DynApproxBetweenness (`centrality/DynApproxBetweenness.cpp`
+    * semantics): repair the RK sample after a batch of edge INSERTIONS.
+    * An inserted edge (u,v) can only affect sources s whose BFS gains a
+    * new-or-shorter path through it — dist(s,u)+1 ≤ dist(s,v) (either
+    * orientation; ≤ catches new equal-length paths, which change sigma and
+    * hence the path-sampling distribution). Only those sources' sigma-BFS
+    * tables are recomputed and only their pairs' paths resampled; every
+    * other pair keeps its cached sampled path, which is still a uniform
+    * draw because its distance AND sigma tables are untouched. Work is
+    * proportional to the affected region — the point of the Dyn* family.
+    * Deletions invalidate the cached structure (as in the reference):
+    * rebuild with [[rkInit]] on deletion batches.
+    *
+    * `newEdges` = the post-insertion edge table; `inserted` = just the new
+    * edges. Pairs are NOT resampled (same estimator sample as `state`),
+    * matching the reference, so results equal an [[rkInit]] on `newEdges`
+    * with the same r/seed whenever the node set is unchanged.
+    */
+  def rkInsertEdges(spark: SparkSession, newEdges: DataFrame,
+                    inserted: DataFrame, state: RkState,
+                    maxDepth: Int = 100): RkState = {
+    val adj = rkAdj(newEdges, state.directed)
+    val ins = (if (state.directed)
+        inserted.where(col("src") =!= col("dst")).select("src", "dst")
+      else GraphOps.symmetrize(GraphOps.canonicalizeUnweighted(
+        inserted.where(col("src") =!= col("dst")))).select("src", "dst"))
+
+    // affected sources: some inserted edge u→v with dist(s,u)+1 ≤ dist(s,v)
+    // or v not yet reached from s
+    val du = state.paths.select(col("source"), col("id").as("src"),
+      col("dist").as("du"))
+    val dv = state.paths.select(col("source"), col("id").as("dst"),
+      col("dist").as("dvv"))
+    val affSrc = ins.join(du, "src").join(dv, Seq("source", "dst"), "left")
+      .where(col("dvv").isNull || col("du") + 1 <= col("dvv"))
+      .select("source").distinct()
+      .transform(Materialize.checkpoint)
+
+    if (affSrc.take(1).isEmpty) state
+    else {
+      val affPairs = state.pairs
+        .join(affSrc.withColumnRenamed("source", "s"), Seq("s"), "left_semi")
+        .select("pair", "s", "t")
+        .transform(Materialize.checkpoint)
+      val keepPaths = state.paths
+        .join(affSrc, Seq("source"), "left_anti")
+      val newPaths = sigmaBfs(adj,
+        affPairs.select(col("s").as("source")).distinct(), maxDepth)
+      val paths = keepPaths.unionByName(newPaths)
+        .transform(Materialize.checkpoint)
+      val keepInterior = state.interior
+        .join(affPairs.select("pair"), Seq("pair"), "left_anti")
+      val newInterior = samplePaths(adj, affPairs, newPaths, state.seed)
+      val interior = keepInterior.unionByName(newInterior)
+        .transform(Materialize.checkpoint)
+      RkState(state.pairs, paths, interior, state.r, state.seed,
+        state.directed)
+    }
+  }
+
+  /** Backward path sampling over the sigma-BFS DAG: every pair walks one
+    * level per job; the predecessor of w is drawn ∝ sigma(pred) (uniform
+    * over shortest paths) via Efraimidis–Spirakis weighted sampling —
+    * argmin of −ln(u)/sigma with a counter-based uniform u — expressed as
+    * one `min_by` aggregation, so a hub's predecessor list never funnels
+    * into a single sorted group. Returns `(pair, id)` interior rows.
+    */
+  private def samplePaths(adj: DataFrame, pairs: DataFrame,
+                          paths: DataFrame, seed: Long): DataFrame = {
     var cur = pairs
       .join(paths.select(col("source").as("s"), col("id").as("t"),
         col("dist")), Seq("s", "t"))
       .select(col("pair"), col("s").as("source"), col("t").as("w"),
         col("dist").as("level"))
       .transform(Materialize.checkpoint)
-    var interior = cur.select(col("w").as("id")).limit(0)
+    var interior = cur.select(col("pair"), col("w").as("id")).limit(0)
       .transform(Materialize.checkpoint)
     var maxLevel = cur.agg(coalesce(max("level"), lit(0))).head().getInt(0)
     while (maxLevel >= 2) {
@@ -216,15 +325,12 @@ object Betweenness {
         .select(col("pair"), col("pick.source").as("source"),
           col("pick.v").as("w"), col("pick.dv").as("level"))
         .transform(Materialize.checkpoint)
-      interior = interior.unionByName(stepped.select(col("w").as("id")))
+      interior = interior
+        .unionByName(stepped.select(col("pair"), col("w").as("id")))
         .transform(Materialize.checkpoint)
       cur = stepped
       maxLevel = cur.agg(coalesce(max("level"), lit(0))).head().getInt(0)
     }
-
-    val counts = interior.groupBy("id").agg(count(lit(1)).as("cnt"))
-    nodes.join(counts, Seq("id"), "left")
-      .select(col("id"),
-        (coalesce(col("cnt"), lit(0L)).cast("double") / actualR).as("score"))
+    interior
   }
 }

@@ -282,6 +282,39 @@ object Generators {
     }.toDF("id", "label")
   }
 
+  /** Dynamic graph event stream (the `generators/Dynamic*Generator.cpp`
+    * family surface: a deterministic time-ordered stream of edge
+    * addition/removal events driving the Dyn* algorithms). Batch b adds a
+    * disjoint deterministic slice of ER edges (counter-hashed endpoints)
+    * and removes a hash-chosen quarter of batch b−1's additions — a pure
+    * function of (n, batches, addsPerBatch, seed), so any batch can be
+    * regenerated independently (no sequential driver state). Rows are
+    * `streaming.GraphEvent`-shaped: (etype, u, v, w, ts) with ts = batch.
+    */
+  def dynamicEvents(spark: SparkSession, n: Long, batches: Int,
+                    addsPerBatch: Long, seed: Long = 42): DataFrame = {
+    import spark.implicits._
+    val evs = spark.range(batches.toLong * addsPerBatch).flatMap { iBoxed =>
+      val i: Long = iBoxed.longValue
+      val b = i / addsPerBatch
+      val h1 = PageGen.mix64(PageGen.mix64(seed ^ i) ^ 0x9E3779B97F4A7C15L)
+      val h2 = PageGen.mix64(PageGen.mix64(seed ^ i) ^ 0xC2B2AE3D27D4EB4FL)
+      val u = java.lang.Long.remainderUnsigned(h1, n)
+      val v = java.lang.Long.remainderUnsigned(h2, n)
+      if (u == v) Iterator.empty
+      else {
+        val add = ("EDGE_ADDITION", math.min(u, v), math.max(u, v), 1.0, b)
+        // a quarter of this batch's additions are removed in batch b+1
+        val h3 = PageGen.mix64(seed ^ 0xDE1E7EL ^ i)
+        if (b + 1 < batches && java.lang.Long.remainderUnsigned(h3, 4L) == 0L)
+          Iterator(add,
+            ("EDGE_REMOVAL", math.min(u, v), math.max(u, v), 1.0, b + 1))
+        else Iterator(add)
+      }
+    }.toDF("etype", "u", "v", "w", "ts")
+    evs.orderBy("ts", "etype", "u", "v")
+  }
+
   /** Hyperbolic random graph, threshold regime T = 0
     * (`generators/HyperbolicGenerator.h:13-23` / `HyperbolicGenerator.cpp`
     * generateCold): nodes at polar positions (θ uniform, r by the

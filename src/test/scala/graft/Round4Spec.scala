@@ -47,6 +47,57 @@ class Round4Spec extends SparkTestBase {
     assert(scores(0L) == 0.0 && scores(4L) == 0.0)
   }
 
+  // ------------------------------------------ dynamic approx betweenness
+  test("DynApproxBetweenness: insertion repair equals from-scratch rebuild") {
+    val edges = edgeDF(undirected(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (0L, 7L), (7L, 8L)))
+    val st0 = Betweenness.rkInit(spark, edges, r = 40, seed = 11)
+    val inserted = edgeDF(undirected((1L, 5L)))
+    val newEdges = edges.unionByName(inserted)
+    val repaired = Betweenness.rkInsertEdges(spark, newEdges, inserted, st0)
+    val got = Betweenness.rkScores(spark, newEdges, repaired)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fresh = Betweenness.rkScores(spark, newEdges,
+        Betweenness.rkInit(spark, newEdges, r = 40, seed = 11))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == fresh)
+    // the shortcut bypasses the old chain interior: node 2 lost coverage
+    val before = Betweenness.rkScores(spark, edges, st0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(2L) <= before(2L))
+  }
+
+  // ------------------------------------------------ dynamic event stream
+  test("dynamic event generator: deterministic, removals subset of adds") {
+    val ev = Generators.dynamicEvents(spark, n = 50L, batches = 4,
+      addsPerBatch = 30L).persist()
+    val adds = ev.where(col("etype") === "EDGE_ADDITION")
+    val rems = ev.where(col("etype") === "EDGE_REMOVAL")
+    assert(adds.count() > 0 && rems.count() > 0)
+    // every removal targets an edge added in the previous batch
+    val orphan = rems.as("r").join(adds.as("a"),
+      col("r.u") === col("a.u") && col("r.v") === col("a.v") &&
+        col("r.ts") === col("a.ts") + 1, "left_anti")
+    assert(orphan.count() == 0)
+    val again = Generators.dynamicEvents(spark, 50L, 4, 30L)
+    assert(again.count() == ev.count())
+    // folds cleanly through the GraphUpdater
+    val s = spark
+    import s.implicits._
+    var state = (edgeDF(Seq.empty[(Long, Long, Double)]),
+      Seq.empty[Long].toDF("id"))
+    for (b <- 0 until 4) {
+      val batch = ev.where(col("ts") === b)
+        .as[(String, Long, Long, Double, Long)]
+        .map(e => graft.streaming.GraphEvent(e._1, e._2, e._3, e._4, e._5))
+      state = graft.streaming.GraphUpdater.applyEvents(spark, state._1,
+        state._2, batch)
+    }
+    assert(state._1.count() > 0)
+    ev.unpersist()
+  }
+
   // --------------------------------------------------- LFR-style generator
   test("LFR-like: sizes cover n, labels consistent, mixing near mu") {
     val n = 2000L
