@@ -186,6 +186,19 @@ object EntryQueries {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy("id")),
 
+    "sfigality" -> ((s, d) =>
+      Centrality.sfigality(s, g1Simple(s, d))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy("id")),
+
+    "permanence" -> ((s, d) => {
+      val nodes = GraphOps.nodes(g1Canon(s, d))
+      val labels = nodes.select(col("id"), (col("id") % 5).as("label"))
+      Centrality.permanence(s, g1Simple(s, d), labels)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy("id")
+    }),
+
     // ---- triangles ------------------------------------------------------
     "tri_global" -> ((s, d) => {
       import s.implicits._
@@ -1215,6 +1228,37 @@ ORDER BY src, dst""")
          |SELECT least(src % 10, dst % 10) AS src, greatest(src % 10, dst % 10) AS dst,
          |  round(sum(weight), 6) AS weight
          |FROM e_canon GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+
+    "sfigality" ->
+      s"""WITH $G1SQL
+         |SELECT e.src AS id,
+         |  round(sum(CASE WHEN dd.degree > ds.degree THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS score
+         |FROM e_sym e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id
+         |GROUP BY 1 ORDER BY id""".stripMargin,
+
+    "permanence" ->
+      s"""WITH $G1SQL,
+         |lab AS (SELECT id, id % 5 AS label FROM nodes),
+         |nl AS (SELECT e.src AS id, ls.label AS lu, ld.label AS lv
+         |  FROM e_sym e JOIN lab ls ON e.src = ls.id JOIN lab ld ON e.dst = ld.id),
+         |percomm AS (SELECT id, lu, lv, count(*) AS c FROM nl GROUP BY 1, 2, 3),
+         |stats AS (SELECT id, sum(CASE WHEN lu = lv THEN c ELSE 0 END) AS i,
+         |  max(CASE WHEN lu <> lv THEN c END) AS emax, sum(c) AS deg
+         |  FROM percomm GROUP BY 1),
+         |tril AS (SELECT ab.src AS u, ab.dst AS v, ac.dst AS w,
+         |    lu.label AS lu, lv.label AS lv, lw.label AS lw
+         |  FROM e_simple ab JOIN e_simple ac ON ab.src = ac.src AND ab.dst < ac.dst
+         |  JOIN e_simple bc ON bc.src = ab.dst AND bc.dst = ac.dst
+         |  JOIN lab lu ON ab.src = lu.id JOIN lab lv ON ab.dst = lv.id
+         |  JOIN lab lw ON ac.dst = lw.id),
+         |tin AS (SELECT id, count(*) AS t FROM (
+         |    SELECT u AS id FROM tril WHERE lv = lu AND lw = lu
+         |    UNION ALL SELECT v FROM tril WHERE lu = lv AND lw = lv
+         |    UNION ALL SELECT w FROM tril WHERE lu = lw AND lv = lw) q GROUP BY 1)
+         |SELECT s.id,
+         |  round(s.i / (coalesce(s.emax, 1) * s.deg * 1.0)
+         |    - (1.0 - CASE WHEN s.i >= 2 THEN coalesce(tin.t, 0) * 2.0 / (s.i * (s.i - 1)) ELSE 1.0 END), 6) AS score
+         |FROM stats s LEFT JOIN tin USING (id) ORDER BY id""".stripMargin,
 
     "deg_centrality" ->
       s"""WITH $G1SQL

@@ -95,6 +95,77 @@ object Centrality {
     if (k > 0) sorted.limit(k) else sorted
   }
 
+  /** Sfigality (`centrality/Sfigality.cpp`): the fraction of a node's
+    * neighbors that have strictly higher degree — high sfigality means the
+    * node hangs off better-connected nodes. One degree join + one
+    * aggregation; isolated nodes score 0.
+    */
+  def sfigality(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val sym = GraphOps.symmetrize(GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst"))))
+    val deg = GraphOps.degrees(sym)
+    sym.select("src", "dst")
+      .join(deg.select(col("id").as("src"), col("degree").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("dv")), "dst")
+      .groupBy(col("src").as("id"))
+      .agg((sum(when(col("dv") > col("du"), 1L).otherwise(0L)) /
+        count(lit(1)).cast("double")).as("score"))
+  }
+
+  /** PermanenceCentrality (`centrality/PermanenceCentrality.cpp` /
+    * Chakraborty et al.): for node v in community c,
+    *   perm(v) = I(v) / (E_max(v) · deg(v)) − (1 − c_in(v))
+    * with I = #neighbors sharing v's community, E_max = the largest number
+    * of neighbors in any single OTHER community (1 when none — the
+    * reference's convention to avoid /0), and c_in = the clustering
+    * coefficient among v's internal neighbors. All four terms are joins +
+    * aggregations; the c_in triangle listing reuses the degree-ordered
+    * wedge-join shape (each wedge checked once).
+    */
+  def permanence(spark: SparkSession, edges: DataFrame,
+                 labels: DataFrame): DataFrame = {
+    val sym = GraphOps.symmetrize(GraphOps.canonicalizeUnweighted(
+        edges.where(col("src") =!= col("dst"))))
+      .select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.select(col("id"), col("label"))
+    val nbrLab = sym
+      .join(lab.select(col("id").as("src"), col("label").as("lu")), "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("lv")), "dst")
+    val perComm = nbrLab
+      .groupBy(col("src").as("id"), col("lu"), col("lv"))
+      .agg(count(lit(1)).as("c"))
+    val stats = perComm.groupBy("id")
+      .agg(sum(when(col("lu") === col("lv"), col("c")).otherwise(0L)).as("i"),
+        max(when(col("lu") =!= col("lv"), col("c"))).as("emax"),
+        sum("c").as("deg"))
+    // c_in numerator: triangles through v whose other two corners are in
+    // v's community — from the degree-ordered triangle listing (hub-safe:
+    // a per-v wedge self-join would be quadratic in a hub's degree)
+    val tri = Triangles.triangles(spark, sym.withColumn("weight", lit(1.0)))
+    val lt = tri
+      .join(lab.select(col("id").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("id").as("v"), col("label").as("lv")), "v")
+      .join(lab.select(col("id").as("w"), col("label").as("lw")), "w")
+    val closed = lt.select(explode(array(
+        struct(col("u").as("id"),
+          (col("lv") === col("lu") && col("lw") === col("lu")).as("ok")),
+        struct(col("v").as("id"),
+          (col("lu") === col("lv") && col("lw") === col("lv")).as("ok")),
+        struct(col("w").as("id"),
+          (col("lu") === col("lw") && col("lv") === col("lw")).as("ok"))))
+        .as("e"))
+      .where(col("e.ok"))
+      .groupBy(col("e.id").as("id")).agg(count(lit(1)).as("tin"))
+    stats.join(closed, Seq("id"), "left")
+      .select(col("id"),
+        (col("i") / (coalesce(col("emax"), lit(1L)) * col("deg")).cast("double")
+          - (lit(1.0) - when(col("i") >= 2,
+              coalesce(col("tin"), lit(0L)) * 2.0 /
+                (col("i") * (col("i") - 1)))
+            .otherwise(lit(1.0)))).as("score"))
+  }
+
   /** Core decomposition / coreness (`centrality/CoreDecomposition.cpp`,
     * ParK level-synchronous peeling :25-31): iteratively remove nodes of
     * degree ≤ k, assigning them coreness k; k increases when no node is

@@ -255,6 +255,93 @@ object Readers {
     }
     events.toDS()
   }
+
+  /** Distributed DGS parse — same semantics as [[dgs]] (first-appearance
+    * node remap, edge-name resolution, ts = nonempty-line ordinal) with
+    * every order-dependent step re-expressed relationally, so the stream
+    * file can be arbitrarily large:
+    *   - line ordinals via `zipWithIndex` (order-preserving text read);
+    *   - ts = dense rank of nonempty body lines (range-partitioned
+    *     two-phase rank, no global window);
+    *   - node ids = dense rank of first mention `(ts, argPos)` — exactly
+    *     the driver parser's `getOrElseUpdate` encounter order;
+    *   - `de`/`ce` events resolve their edge name with a join against the
+    *     `ae` definitions.
+    */
+  def dgsDistributed(spark: SparkSession, path: String): Dataset[GraphEvent] = {
+    import spark.implicits._
+    val raw = spark.read.text(path).rdd.zipWithIndex()
+      .map { case (r, i) => (i, r.getString(0).trim) }
+      .toDF("ln", "line")
+    require(raw.where(col("ln") === 0 && col("line").startsWith("DGS"))
+      .count() == 1, "expected DGS cookie in first line")
+    val body = raw.where(col("ln") >= 2 && length(col("line")) > 0)
+    val ts0 = graft.core.DenseId.assign(body, "ts0", Seq("ln"))
+      .select(col("ln"), (col("ts0") + 1).as("ts"),
+        split(col("line"), "\\s+").as("sp"))
+      .persist()
+
+    def arg(i: Int) = try_element_at(col("sp"), lit(i + 1))
+    def weightArg(i: Int) =
+      when(arg(i).isNotNull && arg(i).contains("="),
+        split(arg(i), "=").getItem(1).cast("double")).otherwise(lit(1.0))
+
+    // node key mentions in encounter order (ts, then position in line)
+    val mentions =
+      ts0.where(arg(0).isin("an", "dn"))
+        .select(arg(1).as("key"), col("ts"), lit(0).as("pos"))
+      .unionByName(ts0.where(arg(0) === "ae")
+        .select(arg(2).as("key"), col("ts"), lit(0).as("pos")))
+      .unionByName(ts0.where(arg(0) === "ae")
+        .select(arg(3).as("key"), col("ts"), lit(1).as("pos")))
+    val firstSeen = mentions.groupBy("key")
+      .agg(min(struct(col("ts"), col("pos"))).as("f"))
+      .select(col("key"), col("f.ts").as("fts"), col("f.pos").as("fpos"))
+    val keyIds = graft.core.DenseId.assign(firstSeen, "nid",
+        Seq("fts", "fpos")).select("key", "nid")
+      .persist()
+
+    val nodeEv = ts0.where(arg(0).isin("an", "dn"))
+      .select(arg(0).as("op"), arg(1).as("key"), col("ts"))
+      .join(keyIds, "key")
+      .select(when(col("op") === "an", GraphEventType.NodeAddition)
+          .otherwise(GraphEventType.NodeRemoval).as("etype"),
+        col("nid").as("u"), lit(0L).as("v"), lit(0.0).as("w"), col("ts"))
+    val stEv = ts0.where(arg(0) === "st")
+      .select(lit(GraphEventType.TimeStep).as("etype"), lit(0L).as("u"),
+        lit(0L).as("v"), lit(0.0).as("w"), col("ts"))
+    val aeDefs = ts0.where(arg(0) === "ae")
+      .select(arg(1).as("ename"), arg(2).as("ku"), arg(3).as("kv"),
+        weightArg(4).as("w"), col("ts"))
+      .join(keyIds.select(col("key").as("ku"), col("nid").as("u")), "ku")
+      .join(keyIds.select(col("key").as("kv"), col("nid").as("v")), "kv")
+      .persist()
+    val aeEv = aeDefs.select(lit(GraphEventType.EdgeAddition).as("etype"),
+      col("u"), col("v"), col("w"), col("ts"))
+    // name resolution: latest definition strictly before the event (valid
+    // DGS defines a name once; max_by keeps the reference's last-write-wins
+    // behavior under redefinition)
+    val named = aeDefs.select(col("ename"), col("u"), col("v"),
+      col("ts").as("defTs"))
+    def resolve(ev: DataFrame): DataFrame = ev.join(named, "ename")
+      .where(col("defTs") < col("ts"))
+      .groupBy(ev.columns.map(col): _*)
+      .agg(max_by(struct(col("u"), col("v")), col("defTs")).as("uv"))
+      .select((ev.columns.map(col) :+ col("uv.u") :+ col("uv.v")): _*)
+    val deEv = resolve(ts0.where(arg(0) === "de")
+        .select(arg(1).as("ename"), col("ts")))
+      .select(lit(GraphEventType.EdgeRemoval).as("etype"), col("u"),
+        col("v"), lit(0.0).as("w"), col("ts"))
+    val ceEv = resolve(ts0.where(arg(0) === "ce")
+        .select(arg(1).as("ename"), weightArg(2).as("w"), col("ts")))
+      .select(lit(GraphEventType.EdgeWeightUpdate).as("etype"), col("u"),
+        col("v"), col("w"), col("ts"))
+
+    nodeEv.unionByName(stEv).unionByName(aeEv).unionByName(deEv)
+      .unionByName(ceEv)
+      .orderBy("ts")
+      .as[GraphEvent]
+  }
 }
 
 /** Writers (`io/EdgeListWriter.cpp`, `PartitionWriter.cpp`): edge table /

@@ -142,6 +142,87 @@ class Round4Spec extends SparkTestBase {
       s"intra ${intra.max} should be < cross ${cross.min}")
   }
 
+  // -------------------------------------------------- sfigality/permanence
+  test("sfigality: leaves of a star score 1, the hub scores 0") {
+    val edges = edgeDF(undirected((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    val s = Centrality.sfigality(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(0L) == 0.0)
+    for (leaf <- 1L to 4L) assert(s(leaf) == 1.0)
+  }
+
+  test("permanence: two triangles + bridge, hand-computed values") {
+    val s = spark
+    import s.implicits._
+    val edges = edgeDF(undirected(
+      (0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L),
+      (2L, 3L)))
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L),
+      (5L, 1L)).toDF("id", "label")
+    val p = Centrality.permanence(spark, edges, labels)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // v=0: I=2, Emax->1, deg=2, c_in=1 -> 2/(1*2) - 0 = 1.0
+    assert(math.abs(p(0L) - 1.0) < 1e-9)
+    // v=2: I=2, Emax=1, deg=3, c_in=1 -> 2/3 - 0
+    assert(math.abs(p(2L) - 2.0 / 3) < 1e-9)
+    // symmetric community: same for 3
+    assert(math.abs(p(3L) - 2.0 / 3) < 1e-9)
+  }
+
+  // ----------------------------------------------------- matching family
+  test("local-max matching: disjoint, maximal, weight-dominant") {
+    val edges = edgeDF(Seq((0L, 1L, 1.0), (1L, 2L, 5.0), (2L, 3L, 1.0),
+      (3L, 4L, 4.0), (4L, 5L, 1.0)))
+    val m = Matching.localMax(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set((1L, 2L), (3L, 4L))) // the two heavy edges dominate
+    // disjoint endpoints
+    val ends = m.toSeq.flatMap { case (u, v) => Seq(u, v) }
+    assert(ends.distinct.size == ends.size)
+    // maximality: no live edge with both endpoints unmatched
+    val unmatched = Set(0L, 5L)
+    assert(!Seq((0L, 1L), (4L, 5L)).exists { case (u, v) =>
+      unmatched(u) && unmatched(v) })
+  }
+
+  test("matching coarsening contracts matched pairs; projector lifts back") {
+    val s = spark
+    import s.implicits._
+    val edges = edgeDF(Seq((0L, 1L, 2.0), (1L, 2L, 1.0), (2L, 3L, 2.0)))
+    val m = Matching.localMax(spark, edges) // {(0,1), (2,3)}
+    val coarse = Matching.coarsen(spark, edges, m)
+    val coarseNodes = GraphOps.nodes(coarse).count()
+    assert(coarseNodes == 2) // 4 nodes, 2 matched pairs
+    val fc = Matching.coarseMap(GraphOps.nodes(edges), m)
+    val coarseLabels = Seq((0L, 7L), (2L, 9L)).toDF("id", "label")
+    val lifted = Matching.projectBack(fc, coarseLabels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lifted == Map(0L -> 7L, 1L -> 7L, 2L -> 9L, 3L -> 9L))
+  }
+
+  // ------------------------------------------------- distributed DGS parse
+  test("distributed DGS parse equals the driver-side parser") {
+    val f = java.io.File.createTempFile("graft", ".dgs")
+    val w = new java.io.PrintWriter(f)
+    w.println("DGS004"); w.println("null 0 0")
+    w.println("an A"); w.println("an B"); w.println("an C")
+    w.println("ae E1 A B weight=2.0")
+    w.println("st")
+    w.println("ae E2 B C")
+    w.println("ce E1 weight=3.5")
+    w.println("de E2")
+    w.println("dn C")
+    w.close()
+    try {
+      val a = graft.sources.Readers.dgs(spark, f.getAbsolutePath)
+        .collect().sortBy(e => (e.ts, e.etype)).toSeq
+      val b = graft.sources.Readers.dgsDistributed(spark, f.getAbsolutePath)
+        .collect().sortBy(e => (e.ts, e.etype)).toSeq
+      assert(b == a)
+    } finally f.delete()
+  }
+
   // ------------------------------------------------------ scalable prefix
   test("prefixSum: exclusive running total matches sequential scan") {
     val s = spark
