@@ -191,6 +191,14 @@ object EntryQueries {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy("id")),
 
+    "local_partition_coverage" -> ((s, d) => {
+      val labels = GraphOps.nodes(g1Canon(s, d))
+        .select(col("id"), (col("id") % 5).as("label"))
+      Centrality.localPartitionCoverage(s, g1Canon(s, d), labels)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy("id")
+    }),
+
     "permanence" -> ((s, d) => {
       val nodes = GraphOps.nodes(g1Canon(s, d))
       val labels = nodes.select(col("id"), (col("id") % 5).as("label"))
@@ -198,6 +206,16 @@ object EntryQueries {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy("id")
     }),
+
+    "nd_jaccard" -> ((s, d) =>
+      graft.algo.NodeDistances.jaccardDistance(s, g1Simple(s, d))
+        .select(col("src"), col("dst"), round(col("distance"), 6).as("distance"))
+        .orderBy("src", "dst")),
+
+    "nd_adamic_adar" -> ((s, d) =>
+      graft.algo.NodeDistances.adamicAdarDistance(s, g1Simple(s, d))
+        .select(col("src"), col("dst"), round(col("distance"), 6).as("distance"))
+        .orderBy("src", "dst")),
 
     // ---- triangles ------------------------------------------------------
     "tri_global" -> ((s, d) => {
@@ -364,6 +382,15 @@ object EntryQueries {
 
     "luby_mis" -> ((s, d) =>
       graft.algo.IndependentSet.luby(s, g2(s, d)).orderBy("id")),
+
+    // local-max matching on the weighted G1 (deterministic: total order on
+    // (weight, src, dst); weights are exact integer-valued doubles so the
+    // unrolled oracle replays the identical rounds). Converges in ≤10
+    // rounds at sf0.1 — 12 unrolled rounds on both sides, extra rounds
+    // no-op on an empty live set.
+    "matching" -> ((s, d) =>
+      graft.algo.Matching.localMax(s, g1Canon(s, d), maxIter = 12)
+        .orderBy("u", "v")),
 
     // 16 lowest-id sources (deterministic + oracle-expressible), no
     // sampling extrapolation — raw dependency sums comparable exactly
@@ -971,6 +998,40 @@ ORDER BY src, dst""")
     sb.toString
   }
 
+  /** Local-max matching, `rounds` unrolled rounds (`matching/
+    * LocalMaxMatcher.cpp` determinized semantics — see
+    * `algo/Matching.localMax`): per round, an edge joins the matching iff
+    * its (weight, src, dst) triple is the maximum incident triple at BOTH
+    * endpoints; matched endpoints leave the live set. Row-value comparison
+    * replays Spark's struct ordering exactly (weights are exact
+    * integer-valued doubles on both engines).
+    */
+  private def matchingSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $G1SQL,\n")
+    sb.append("mlv0 AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS weight FROM e_canon WHERE src <> dst)")
+    for (t <- 1 to rounds) {
+      val p = t - 1
+      sb.append(s""",
+mbest$t AS MATERIALIZED (
+  SELECT id, max((weight, src, dst)) AS bk FROM (
+    SELECT src AS id, weight, src, dst FROM mlv$p
+    UNION ALL SELECT dst AS id, weight, src, dst FROM mlv$p) GROUP BY 1),
+mdom$t AS MATERIALIZED (
+  SELECT l.src AS u, l.dst AS v FROM mlv$p l
+  JOIN mbest$t bs ON bs.id = l.src AND bs.bk = (l.weight, l.src, l.dst)
+  JOIN mbest$t bd ON bd.id = l.dst AND bd.bk = (l.weight, l.src, l.dst)),
+mused$t AS (SELECT u AS id FROM mdom$t UNION SELECT v AS id FROM mdom$t),
+mlv$t AS MATERIALIZED (SELECT src, dst, weight FROM mlv$p
+  WHERE src NOT IN (SELECT id FROM mused$t) AND dst NOT IN (SELECT id FROM mused$t))""")
+    }
+    sb.append("\nSELECT u, v FROM (")
+    sb.append((1 to rounds).map(t => s"SELECT u, v FROM mdom$t")
+      .mkString(" UNION ALL "))
+    sb.append(") ORDER BY u, v")
+    sb.toString
+  }
+
   /** Brandes betweenness from the 16 lowest-id sources: forward sigma by
     * unrolled BFS levels, backward dependency accumulation level by level
     * (`centrality/Betweenness.cpp` semantics; levels past the true depth
@@ -1236,6 +1297,16 @@ ORDER BY src, dst""")
          |FROM e_sym e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id
          |GROUP BY 1 ORDER BY id""".stripMargin,
 
+    "local_partition_coverage" ->
+      s"""WITH $G1SQL,
+         |wsym AS (SELECT src, dst, weight FROM e_canon
+         |  UNION ALL SELECT dst, src, weight FROM e_canon WHERE src <> dst),
+         |lab AS (SELECT id, id % 5 AS label FROM nodes)
+         |SELECT w.src AS id,
+         |  round(sum(CASE WHEN ls.label = ld.label THEN w.weight ELSE 0 END) / sum(w.weight), 6) AS score
+         |FROM wsym w JOIN lab ls ON w.src = ls.id JOIN lab ld ON w.dst = ld.id
+         |GROUP BY 1 ORDER BY id""".stripMargin,
+
     "permanence" ->
       s"""WITH $G1SQL,
          |lab AS (SELECT id, id % 5 AS label FROM nodes),
@@ -1354,6 +1425,33 @@ ORDER BY src, dst""")
          |  round(coalesce(c.t, 0) * 1.0 / (da.degree + db.degree - coalesce(c.t, 0)), 6) AS score
          |FROM e_simple e LEFT JOIN cnt c ON e.src = c.src AND e.dst = c.dst
          |JOIN deg da ON e.src = da.id JOIN deg db ON e.dst = db.id
+         |ORDER BY e.src, e.dst""".stripMargin,
+
+    "nd_jaccard" ->
+      s"""WITH $G1SQL,
+         |tris AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM e_simple e1
+         |  JOIN e_simple e2 ON e1.dst = e2.src
+         |  JOIN e_simple e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |sides AS (SELECT u AS a, v AS b FROM tris UNION ALL
+         |  SELECT u, w FROM tris UNION ALL SELECT v, w FROM tris),
+         |cnt AS (SELECT a AS src, b AS dst, count(*) AS t FROM sides GROUP BY 1,2)
+         |SELECT e.src, e.dst,
+         |  round(1.0 - coalesce(c.t, 0) * 1.0 / (da.degree + db.degree - coalesce(c.t, 0)), 6) AS distance
+         |FROM e_simple e LEFT JOIN cnt c ON e.src = c.src AND e.dst = c.dst
+         |JOIN deg da ON e.src = da.id JOIN deg db ON e.dst = db.id
+         |ORDER BY e.src, e.dst""".stripMargin,
+
+    "nd_adamic_adar" ->
+      s"""WITH $G1SQL,
+         |tris AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM e_simple e1
+         |  JOIN e_simple e2 ON e1.dst = e2.src
+         |  JOIN e_simple e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |contrib AS (SELECT u AS a, v AS b, w AS c FROM tris UNION ALL
+         |  SELECT u, w, v FROM tris UNION ALL SELECT v, w, u FROM tris),
+         |aa AS (SELECT a AS src, b AS dst, sum(1.0 / ln(d.degree)) AS aa
+         |  FROM contrib JOIN deg d ON contrib.c = d.id GROUP BY 1, 2)
+         |SELECT e.src, e.dst, round(1.0 / a.aa, 6) AS distance
+         |FROM e_simple e JOIN aa a ON e.src = a.src AND e.dst = a.dst
          |ORDER BY e.src, e.dst""".stripMargin,
 
     "es_local_degree" ->
@@ -2024,6 +2122,7 @@ ORDER BY src, dst""")
     "kcore" -> kcoreSql(48),
     "luby_mis" -> lubySql(16),
     "msf" -> msfSql(6),
+    "matching" -> matchingSql(12),
     "betweenness" -> betweennessSql(40),
     "scd_nibble" -> scdSql(40),
     "anf_diameter" -> anfSql,

@@ -27,29 +27,31 @@ object SSSP {
     val adj = adj0.select("src", "dst").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // state: (source, id, dist, frontier)
-    val init = sources.select(col("id").as("source"), col("id"),
-      lit(0L).as("dist"), lit(true).as("frontier"))
-
-    def step(state: DataFrame, iter: Int): DataFrame = {
-      val frontier = state.where(col("frontier"))
-        .select(col("source"), col("id").as("src"), col("dist"))
-      val expanded = adj.join(frontier, "src")
+    // Frontier-accumulating loop: only the CURRENT level materializes per
+    // sweep; settled levels stay as already-checkpointed leaves and the
+    // visited set used by the dedup anti-join is their plain union. The
+    // alternative — carrying one (source,id,dist,frontier) state table and
+    // rewriting it every level — re-materializes O(reached) rows × O(depth)
+    // times, which dominated multi-source runs (diameter fringe batches).
+    var frontier = sources.select(col("id").as("source"), col("id"),
+      lit(0L).as("dist")).transform(graft.core.Materialize.checkpoint)
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var fSize = frontier.count()
+    var depth = 0
+    while (fSize > 0 && depth < maxDepth) {
+      depth += 1
+      val visited = levels.map(_.select("source", "id")).reduce(_ unionByName _)
+      val expanded = adj.join(frontier.select(col("source"),
+          col("id").as("src"), col("dist")), "src")
         .select(col("source"), col("dst").as("id"), (col("dist") + 1).as("dist"))
         .groupBy("source", "id").agg(min("dist").as("dist"))
-      val newNodes = expanded.join(
-        state.select(col("source"), col("id")), Seq("source", "id"), "left_anti")
-      state.select("source", "id", "dist").withColumn("frontier", lit(false))
-        .unionByName(newNodes.withColumn("frontier", lit(true)))
+      frontier = expanded.join(visited, Seq("source", "id"), "left_anti")
+        .transform(graft.core.Materialize.checkpoint)
+      fSize = frontier.count()
+      if (fSize > 0) levels += frontier
     }
-
-    def frontierSize(prev: DataFrame, next: DataFrame): Double =
-      next.where(col("frontier")).count().toDouble
-
-    val res = IterationDriver.run(spark, init, step, frontierSize,
-      IterConfig(tol = 0.0, maxIter = maxDepth))
     adj.unpersist()
-    res.state.select("source", "id", "dist")
+    levels.map(_.select("source", "id", "dist")).reduce(_ unionByName _)
   }
 
   /** Weighted SSSP via iterative relaxation (Bellman-Ford / the hash-min

@@ -112,6 +112,25 @@ object Centrality {
         count(lit(1)).cast("double")).as("score"))
   }
 
+  /** LocalPartitionCoverage (`centrality/LocalPartitionCoverage.cpp:17-23`):
+    * score(u) = Σ_{v ∈ N(u), P(u)=P(v)} w(u,v) / weightedDegree(u) — the
+    * weighted fraction of a node's incident edges staying inside its own
+    * partition. One label join per endpoint + one aggregation; self-loops
+    * count once (symmetrize emits the loop row once), matching the
+    * reference's visit-once `forNeighborsOf` loop.
+    */
+  def localPartitionCoverage(spark: SparkSession, edges: DataFrame,
+                             labels: DataFrame): DataFrame = {
+    val wsym = GraphOps.symmetrize(GraphOps.canonicalize(edges))
+    val lab = labels.select(col("id"), col("label"))
+    wsym
+      .join(lab.select(col("id").as("src"), col("label").as("lu")), "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("lv")), "dst")
+      .groupBy(col("src").as("id"))
+      .agg((sum(when(col("lu") === col("lv"), col("weight")).otherwise(0.0)) /
+        sum(col("weight"))).as("score"))
+  }
+
   /** PermanenceCentrality (`centrality/PermanenceCentrality.cpp` /
     * Chakraborty et al.): for node v in community c,
     *   perm(v) = I(v) / (E_max(v) · deg(v)) − (1 − c_in(v))
@@ -173,36 +192,60 @@ object Centrality {
     * each round is a degree filter + semi-join shrink of the live subgraph.
     */
   def coreDecomposition(spark: SparkSession, edges: DataFrame): DataFrame = {
+    // H-index fixpoint (Lü/Chen/Ren/Zhang 2016, "The H-index of a network
+    // node"): init c(v) = deg(v); sweep c(v) ← H({c(u) : u ∈ N(v)}). The
+    // sequence is monotonically non-increasing and its fixpoint is EXACTLY
+    // the coreness of the reference's peeling (`centrality/
+    // CoreDecomposition.cpp` ParK) — but it converges in a few dozen sweeps
+    // where level-synchronous peeling needs one distributed round per peel
+    // wave (hundreds on deep-chain web graphs). Per sweep the H-index is
+    // computed hub-safely from a per-node HISTOGRAM of neighbor values
+    // (≤ #distinct c-values rows per node, never the raw incidence list):
+    // with entries (value v_i desc, count ≥ v_i cumulative N_i),
+    // h = max_i min(v_i, N_i). An active set keeps late sweeps cheap: only
+    // nodes with a changed neighbor recompute.
     val simple = GraphOps.canonicalizeUnweighted(
       edges.where(col("src") =!= col("dst"))).select("src", "dst")
-    // eager localCheckpoint per round: flat plans, one live generation
-    // (see IterationDriver on iterative-lineage blowup)
-    var live = GraphOps.symmetrize(simple.withColumn("weight", lit(1.0)))
-      .select("src", "dst").transform(graft.core.Materialize.checkpoint)
-    var liveNodes = GraphOps.nodes(simple.withColumn("weight", lit(1.0)))
+    val sym0 = GraphOps.symmetrize(simple.withColumn("weight", lit(1.0)))
+      .select("src", "dst")
+    val symBySrc = sym0.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val symByDst = sym0.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verbose = sys.env.contains("SPARK_GRAFT_KCORE_VERBOSE")
+    var state = symBySrc.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("c")).withColumn("changed", lit(true))
       .transform(graft.core.Materialize.checkpoint)
-    val results = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var k = 0L
-    var remaining = liveNodes.count()
-    while (remaining > 0) {
-      val deg = live.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-      val degAll = liveNodes.join(deg, Seq("id"), "left")
-        .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
-      val peel = degAll.where(col("d") <= k).select("id").transform(graft.core.Materialize.checkpoint)
-      val nPeel = peel.count()
-      if (nPeel == 0) {
-        k += 1
-      } else {
-        results += peel.select(col("id"), lit(k).as("coreness"))
-        liveNodes = liveNodes.join(peel, Seq("id"), "left_anti")
-          .transform(graft.core.Materialize.checkpoint)
-        live = live
-          .join(peel.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-          .join(peel.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-          .select("src", "dst").transform(graft.core.Materialize.checkpoint)
-        remaining -= nPeel
-      }
+    var changed = state.count()
+    var sweep = 0
+    while (changed > 0) {
+      sweep += 1
+      val t0 = System.nanoTime()
+      // nodes with ≥1 changed neighbor — their H-index may have dropped
+      val changedSrc = state.where(col("changed")).select(col("id").as("src"))
+      val affected = symBySrc.join(changedSrc, Seq("src"), "left_semi")
+        .select("dst").distinct()
+      val hist = symByDst
+        .join(affected, Seq("dst"), "left_semi")
+        .join(state.select(col("id").as("src"), col("c")), "src")
+        .groupBy(col("dst").as("id"), col("c")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("c").desc)
+      val h = hist.withColumn("cum", sum("cnt").over(w))
+        .groupBy("id").agg(max(least(col("c"), col("cum"))).as("h"))
+      val next = state.select("id", "c").join(h, Seq("id"), "left")
+        .select(col("id"),
+          least(col("c"), coalesce(col("h"), col("c"))).as("c"),
+          (coalesce(col("h"), col("c")) < col("c")).as("changed"))
+        .transform(graft.core.Materialize.checkpoint)
+      changed = next.where(col("changed")).count()
+      graft.core.Materialize.free(state)
+      state = next
+      if (verbose) System.err.println(
+        f"[kcore] sweep $sweep changed=$changed ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
-    results.reduce(_ unionByName _)
+    symBySrc.unpersist(blocking = false)
+    symByDst.unpersist(blocking = false)
+    state.select(col("id"), col("c").as("coreness"))
   }
 }

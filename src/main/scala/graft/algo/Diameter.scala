@@ -54,28 +54,66 @@ object Diameter {
     var lb = if (eccRows.isEmpty) 0L else eccRows.map(_.getLong(1)).max
     // component -> upper bound 2*eccPivot
     var ub = eccRows.map(r => r.getLong(0) -> 2L * r.getLong(1)).toMap
+    val pivotEcc = eccRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-    var i = lb // walk levels from the deepest fringe down
+    // Double sweep (the classic iFub warm start): BFS once more from each
+    // still-active component's FARTHEST-from-pivot node (ties to min id).
+    // Its eccentricity is usually the true diameter on power-law graphs, so
+    // the level walk below starts with a tight lower bound and prunes after
+    // a couple of fringe batches instead of a dozen.
+    {
+      val active = ub.filter(_._2 > lb).keys.toSeq
+      if (active.nonEmpty) {
+        val far = pivotDist.where(col("component").isin(active: _*))
+          .groupBy("component")
+          .agg(max(struct(col("dist"), (-col("id")).as("negid"))).as("f"))
+          .select((-col("f.negid")).as("id"))
+        val sweepEcc = SSSP.bfs(spark, sym.withColumn("weight", lit(1.0)), far)
+          .agg(max("dist")).head().getLong(0)
+        lb = math.max(lb, sweepEcc)
+      }
+    }
+
+    // walk pivot-BFS levels top-down; batch consecutive small fringe levels
+    // into ONE multi-source BFS (each run costs O(diameter) sweeps of fixed
+    // overhead regardless of source count — batching amortizes it; the cap
+    // keeps the (source,node) state of a batch bounded)
+    val batchCap = 2048L
+    var i = math.min(lb,
+      ub.filter(_._2 > lb).keys.map(pivotEcc).foldLeft(0L)(math.max))
     var levels = 0
     while (ub.values.exists(_ > lb) && i >= 1 && levels < maxLevels) {
-      levels += 1
       val active = ub.filter(_._2 > lb).keys.toSeq
-      val fringe = pivotDist
-        .where(col("dist") === i && col("component").isin(active: _*))
-        .select("id")
-      if (!fringe.isEmpty) {
+      val batch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var batchN = 0L
+      var iLow = i
+      var open = true
+      while (open && iLow >= 1 && ub.values.exists(_ > lb)) {
+        levels += 1
+        val f = pivotDist
+          .where(col("dist") === iLow && col("component").isin(active: _*))
+          .select("id")
+        val n = f.count()
+        if (batch.nonEmpty && batchN + n > batchCap) {
+          open = false; iLow += 1 // this level goes to the next batch
+        } else {
+          if (n > 0) { batch += f; batchN += n }
+          if (open) { if (batchN >= batchCap) open = false else iLow -= 1 }
+        }
+      }
+      if (iLow < 1) iLow = 1
+      if (batch.nonEmpty) {
         val fringeEcc = SSSP.bfs(spark, sym.withColumn("weight", lit(1.0)),
-            fringe)
-          .groupBy("source").agg(max("dist").as("ecc"))
-          .agg(max("ecc")).head().getLong(0)
+            batch.reduce(_ unionByName _))
+          .agg(max("dist")).head().getLong(0)
         lb = math.max(lb, fringeEcc)
       }
-      // every unexplored node of an active component sits at level < i,
-      // so its eccentricity is < 2*(i-1)+1 ⇒ new component bound
+      // every unexplored node of an active component sits at level < iLow,
+      // so its eccentricity is < 2*(iLow-1)+1 ⇒ new component bound
       ub = ub.map { case (c, b) =>
-        c -> (if (b > lb) math.min(b, 2 * (i - 1)) else b)
+        c -> (if (b > lb) math.min(b, 2 * (iLow - 1)) else b)
       }
-      i -= 1
+      i = iLow - 1
     }
     sym.unpersist(); comps.unpersist(); pivots.unpersist()
     pivotDist.unpersist()

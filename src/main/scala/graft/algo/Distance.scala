@@ -44,6 +44,56 @@ object Closeness {
   }
 }
 
+/** Per-edge node-distance measures (`distance/JaccardDistance.cpp:40-41`,
+  * `distance/AdamicAdarDistance.cpp:30-58` — SURVEY.md §2.8): distances
+  * attached to EXISTING edges, both derived from the degree-ordered
+  * triangle listing (hub-safe — never a per-node neighborhood cross
+  * product). An edge whose endpoints share no neighbor has no finite
+  * Adamic-Adar distance (the reference's 1/0 = +∞) and is absent from the
+  * output — the same absent-row convention BFS uses for unreachable nodes.
+  */
+object NodeDistances {
+
+  private def simpleAndDegrees(edges: DataFrame): (DataFrame, DataFrame) = {
+    val canon = GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst"))).select("src", "dst")
+    val deg = GraphOps.degrees(GraphOps.symmetrize(
+      canon.withColumn("weight", lit(1.0))))
+    (canon, deg)
+  }
+
+  /** jd(u,v) = 1 − t/(deg u + deg v − t), t = the edge's triangle count. */
+  def jaccardDistance(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val (_, deg) = simpleAndDegrees(edges)
+    Triangles.perEdge(spark, edges)
+      .join(deg.select(col("id").as("src"), col("degree").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        (lit(1.0) - col("triangles") /
+          (col("du") + col("dv") - col("triangles")).cast("double"))
+          .as("distance"))
+  }
+
+  /** aad(u,v) = 1 / Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — each triangle
+    * contributes its opposite corner to each of its three edges
+    * (`AdamicAdarDistance.cpp:37-46` accumulation, dataflow-reformulated).
+    */
+  def adamicAdarDistance(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val (canon, deg) = simpleAndDegrees(edges)
+    val tris = Triangles.triangles(spark, edges)
+    val contrib = tris.select(col("u").as("a"), col("v").as("b"), col("w").as("c"))
+      .unionByName(tris.select(col("u").as("a"), col("w").as("b"), col("v").as("c")))
+      .unionByName(tris.select(col("v").as("a"), col("w").as("b"), col("u").as("c")))
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"), col("c"))
+    val aa = contrib
+      .join(deg.select(col("id").as("c"), col("degree").as("dc")), "c")
+      .groupBy("src", "dst").agg(sum(lit(1.0) / log(col("dc"))).as("aa"))
+    canon.join(aa, Seq("src", "dst"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("aa")).as("distance"))
+  }
+}
+
 /** Minimum spanning forest via Borůvka rounds — the scalable replacement
   * for the reference's sequential `KruskalMSF` (`graph/KruskalMSF.cpp`,
   * SURVEY.md §2.8): per round every component picks its lightest outgoing

@@ -29,7 +29,15 @@ object PLM {
     *                   phase replayable by the unrolled DuckDB oracle.
     */
   final case class Config(gamma: Double = 1.0, maxMovePasses: Int = 8,
-                          maxLevels: Int = 8, stopEarly: Boolean = true)
+                          maxLevels: Int = 8, stopEarly: Boolean = true,
+                          /** stop recursing when a level's move phase
+                            * shrinks the community count by less than this
+                            * fraction — the red-black schedule can 2-cycle
+                            * at a fixed point (pairs endlessly swapping,
+                            * zero net shrink), the parity analogue of the
+                            * reference's `moved == 0` recursion stop
+                            * (`PLM.cpp:208-214`) */
+                          minShrink: Double = 0.01)
 
   final case class Result(labels: DataFrame, levels: Int)
 
@@ -50,18 +58,27 @@ object PLM {
           coalesce(col("loopw"), lit(0.0))).as("vol"))
       .transform(graft.core.Materialize.checkpoint)
 
-    // neighbor edges without self-loops (affinity excludes u itself)
-    val nbrs = sym.where(col("src") =!= col("dst")).transform(graft.core.Materialize.checkpoint)
+    // neighbor edges without self-loops (affinity excludes u itself),
+    // src-partitioned ONCE: the per-pass label join is src-keyed, so each
+    // pass reshuffles only the node-sized label table, never the edges
+    val nbrs = sym.where(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var labels = nodes.select(col("id"), col("id").as("label"))
       .transform(graft.core.Materialize.checkpoint)
+    var labelsCk = labels // the checkpointed generation behind `labels`
     var pass = 0
     var moved = 1L
+    val verbose = sys.env.contains("SPARK_GRAFT_PLM_VERBOSE")
     while ((moved > 0 || !cfg.stopEarly) && pass < cfg.maxMovePasses) {
       pass += 1
+      val t0 = System.nanoTime()
       val parity = pass % 2
+      // checkpointed: referenced twice below (cvolC and cvolD sides)
       val comVol = labels.join(vol, "id")
         .groupBy("label").agg(sum("vol").as("cvol"))
+        .transform(graft.core.Materialize.checkpoint)
       // affinities of updating nodes to neighbor communities
       val aff = nbrs
         .join(labels.select(col("id").as("src"), col("label").as("nlabel")), "src")
@@ -71,11 +88,15 @@ object PLM {
       val cur = labels.withColumnRenamed("label", "clabel")
         .join(vol, "id")
         .join(comVol.select(col("label").as("clabel"), col("cvol").as("cvolC")), "clabel")
-      // candidate deltas; affC = affinity to own community (may be absent)
+      // candidate deltas; affC = affinity to own community (may be absent).
+      // Checkpointed: BOTH affC and cand scan it — without materialization
+      // the whole edges⋈labels affinity aggregation above evaluates twice
+      // per pass (it is the dominant cost of the move phase).
       val withAff = aff
         .join(cur, "id")
         .join(comVol.select(col("label").as("nlabel"), col("cvol").as("cvolD")),
           Seq("nlabel"), "left")
+        .transform(graft.core.Materialize.checkpoint)
       val affC = withAff.where(col("nlabel") === col("clabel"))
         .select(col("id"), col("aff").as("affC"))
       val cand = withAff.where(col("nlabel") =!= col("clabel"))
@@ -90,12 +111,23 @@ object PLM {
           struct(col("delta"), (-col("nlabel")).as("nl"))).as("b"))
         .select(col("id"), col("b.nlabel").as("winner"), col("b.delta").as("delta"))
         .where(col("delta") > 1e-15)
+      // changed-flag carried in the checkpointed state: the move count is a
+      // cheap scan of the materialized rows, not a second evaluation of the
+      // whole candidate/argmax pipeline (which previously doubled pass cost)
       val newLabels = labels.join(best.select("id", "winner"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("winner"), col("label")).as("label"))
+        .select(col("id"), coalesce(col("winner"), col("label")).as("label"),
+          col("winner").isNotNull.as("changed"))
         .transform(graft.core.Materialize.checkpoint)
-      moved = best.count()
-      labels = newLabels
+      moved = newLabels.where(col("changed")).count()
+      graft.core.Materialize.free(labelsCk)
+      graft.core.Materialize.free(comVol)
+      graft.core.Materialize.free(withAff)
+      labelsCk = newLabels
+      labels = newLabels.select("id", "label")
+      if (verbose) System.err.println(
+        f"[plm] pass $pass moved=$moved ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
+    nbrs.unpersist(blocking = false)
     labels
   }
 
@@ -107,7 +139,8 @@ object PLM {
       val labels = movePhase(spark, canon, cfg)
       val nComms = labels.select("label").distinct().count()
       val nNodes = labels.count()
-      if (nComms == nNodes || depth + 1 >= cfg.maxLevels) labels
+      if (nNodes - nComms < cfg.minShrink * nNodes ||
+          depth + 1 >= cfg.maxLevels) labels
       else {
         // contract (ParallelPartitionCoarsening.cpp:20-70) and recurse
         val coarse = Coarsening.byPartition(canon, labels).transform(graft.core.Materialize.checkpoint)

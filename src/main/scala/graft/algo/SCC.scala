@@ -2,6 +2,7 @@ package graft.algo
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions
 import graft.core.{DenseId, GraphOps, Materialize}
 
 /** Strongly connected components of a DIRECTED graph — the capability of the
@@ -35,42 +36,88 @@ import graft.core.{DenseId, GraphOps, Materialize}
   */
 object StronglyConnectedComponents {
 
+  /** Phase timing to stderr when SPARK_GRAFT_SCC_VERBOSE is set. */
+  private val verbose = sys.env.contains("SPARK_GRAFT_SCC_VERBOSE")
+  private def phase[T](name: String)(f: => T): T =
+    if (!verbose) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[scc] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
   def run(spark: SparkSession, edges: DataFrame, maxOuter: Int = 200): DataFrame = {
-    var live = edges.select("src", "dst")
+    // The edge set is cached ONCE (each side partitioned on its join key)
+    // and never rewritten; liveness lives in the node-sized (id,outd,ind)
+    // table, maintained by decrements: when a node is removed, each of its
+    // edges decrements the surviving endpoint's counter — exactly once,
+    // because the semi-join is against THIS round's removals only, and an
+    // endpoint removed earlier has no row left in `deg` to decrement. The
+    // previous shape recomputed src/dst distincts and re-checkpointed the
+    // full edge set every trim round: O(m) rewritten per round dominated on
+    // DAG-ish web fringes with deep peel chains.
+    val e0 = edges.select("src", "dst")
       .where(col("src") =!= col("dst")).distinct()
+    val eBySrc = e0.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eByDst = e0.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outd0 = eBySrc.groupBy(col("src").as("id")).agg(functions.count(lit(1)).as("outd"))
+    val ind0 = eByDst.groupBy(col("dst").as("id")).agg(functions.count(lit(1)).as("ind"))
+    var deg = outd0.join(ind0, Seq("id"), "full")
+      .select(col("id"), coalesce(col("outd"), lit(0L)).as("outd"),
+        coalesce(col("ind"), lit(0L)).as("ind"))
       .transform(Materialize.checkpoint)
-    var liveNodes = GraphOps.nodes(live.withColumn("weight", lit(1.0)))
-      .transform(Materialize.checkpoint)
+
+    // removed: (id) — drop the rows and decrement surviving neighbors
+    def removeNodes(removed: DataFrame): Unit = {
+      val lossOut = eByDst
+        .join(removed.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("id")).agg(functions.count(lit(1)).as("lo"))
+      val lossIn = eBySrc
+        .join(removed.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .groupBy(col("dst").as("id")).agg(functions.count(lit(1)).as("li"))
+      val next = deg.join(removed, Seq("id"), "left_anti")
+        .join(lossOut, Seq("id"), "left")
+        .join(lossIn, Seq("id"), "left")
+        .select(col("id"),
+          (col("outd") - coalesce(col("lo"), lit(0L))).as("outd"),
+          (col("ind") - coalesce(col("li"), lit(0L))).as("ind"))
+        .transform(Materialize.checkpoint)
+      Materialize.free(deg)
+      deg = next
+    }
+
     val found = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
-    var remaining = liveNodes.count()
+    var remaining = deg.count()
 
     while (remaining > 0 && outer < maxOuter) {
       outer += 1
-      // ---- 1. trim fixpoint --------------------------------------------
+      // ---- 1. trim fixpoint (node-sized jobs only) ---------------------
       var trimmed = true
-      while (trimmed && remaining > 0) {
-        val withOut = live.select(col("src").as("id")).distinct()
-        val withIn = live.select(col("dst").as("id")).distinct()
-        val trivial = liveNodes.join(withOut, Seq("id"), "left_anti")
-          .unionByName(liveNodes.join(withIn, Seq("id"), "left_anti"))
-          .distinct()
-          .transform(Materialize.checkpoint)
+      var trimRounds = 0
+      phase(s"trim(outer=$outer)") { while (trimmed && remaining > 0) {
+        trimRounds += 1
+        val trivial = deg.where(col("outd") === 0 || col("ind") === 0)
+          .select("id").transform(Materialize.checkpoint)
         val nTrivial = trivial.count()
         if (nTrivial == 0) trimmed = false
         else {
           found += trivial.select(col("id"), col("id").as("root"))
-          liveNodes = liveNodes.join(trivial, Seq("id"), "left_anti")
-            .transform(Materialize.checkpoint)
-          live = live
-            .join(trivial.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-            .join(trivial.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-            .select("src", "dst")
-            .transform(Materialize.checkpoint)
+          removeNodes(trivial)
           remaining -= nTrivial
         }
-      }
+      } }
+      if (verbose) System.err.println(s"[scc] trim rounds=$trimRounds remaining=$remaining")
       if (remaining > 0) {
+        // live edge view for this outer round: both endpoints still present
+        val liveNodes = deg.select("id")
+        val live = eBySrc
+          .join(liveNodes.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(liveNodes.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .transform(Materialize.checkpoint)
         // ---- 2. forward max-coloring to fixpoint -------------------------
         // the live edge set is loop-invariant here: partition it by src once
         // so each propagation sweep shuffles only the node-sized frontier
@@ -79,7 +126,10 @@ object StronglyConnectedComponents {
         var colors = liveNodes.select(col("id"), col("id").as("color"),
           lit(true).as("changed")).transform(Materialize.checkpoint)
         var changed = 1L
-        while (changed > 0) {
+        var sweeps = 0
+        var jumps = 0
+        phase(s"color(outer=$outer)") { while (changed > 0) {
+          sweeps += 1
           val frontier = colors.where(col("changed"))
             .select(col("id").as("src"), col("color"))
           val prop = liveP.join(frontier, "src")
@@ -100,6 +150,7 @@ object StronglyConnectedComponents {
           // already holds (colors are ≥ own id and monotone along edges).
           var jumped = if (changed > 0) 1L else 0L
           while (jumped > 0) {
+            jumps += 1
             val parents = colors
               .select(col("id").as("color"), col("color").as("pcolor"))
             val nxt = colors.join(parents, Seq("color"), "left")
@@ -113,7 +164,8 @@ object StronglyConnectedComponents {
             jumped = nxt.where(col("moved")).count()
             colors = nxt.select("id", "color", "changed")
           }
-        }
+        } }
+        if (verbose) System.err.println(s"[scc] color sweeps=$sweeps jumps=$jumps")
         liveP.unpersist(blocking = false)
         val colorOf = colors.select("id", "color")
         // ---- 3. backward reach from all roots within equal color --------
@@ -127,33 +179,34 @@ object StronglyConnectedComponents {
           .select(col("dst").as("from"), col("src").as("to"))
           .repartition(col("from")) // loop-invariant: partition on join key
           .transform(Materialize.checkpoint)
-        var visited = roots.select(col("id"), col("id").as("root"))
+        // frontier-accumulating reach: only the current level materializes;
+        // settled levels stay as checkpointed leaves and the dedup anti-join
+        // unions them (same shape as SSSP.bfs — never rewrite visited state)
+        var frontier = roots.select(col("id"), col("id").as("root"))
           .transform(Materialize.checkpoint)
-        var frontier = visited
-        var fSize = frontier.count()
-        while (fSize > 0) {
+        val reachLevels = scala.collection.mutable.ArrayBuffer(frontier)
+        var nFound = frontier.count()
+        var fSize = nFound
+        phase(s"reach(outer=$outer)") { while (fSize > 0) {
+          val visitedIds = reachLevels.map(_.select("id")).reduce(_ unionByName _)
           val expanded = rev.join(frontier.select(col("id").as("from"), col("root")), "from")
             .select(col("to").as("id"), col("root")).distinct()
-          frontier = expanded.join(visited.select("id"), Seq("id"), "left_anti")
+          frontier = expanded.join(visitedIds, Seq("id"), "left_anti")
             .transform(Materialize.checkpoint)
           fSize = frontier.count()
-          if (fSize > 0)
-            visited = visited.unionByName(frontier).transform(Materialize.checkpoint)
-        }
+          if (fSize > 0) { reachLevels += frontier; nFound += fSize }
+        } }
+        if (verbose) System.err.println(s"[scc] reach levels=${reachLevels.size} found=$nFound")
         // a node reaching multiple roots is impossible within equal color:
         // its color equals the single largest root reaching it
+        val visited = reachLevels.reduce(_ unionByName _)
         found += visited
-        val nFound = visited.count()
-        liveNodes = liveNodes.join(visited.select("id"), Seq("id"), "left_anti")
-          .transform(Materialize.checkpoint)
-        live = live
-          .join(visited.select(col("id").as("src")), Seq("src"), "left_anti")
-          .join(visited.select(col("id").as("dst")), Seq("dst"), "left_anti")
-          .select("src", "dst")
-          .transform(Materialize.checkpoint)
+        removeNodes(visited.select("id"))
         remaining -= nFound
       }
     }
+    eBySrc.unpersist(blocking = false)
+    eByDst.unpersist(blocking = false)
     require(remaining == 0, s"SCC: $remaining nodes left after $maxOuter outer rounds")
 
     val membership = found.reduce(_ unionByName _)

@@ -74,6 +74,44 @@ object Profile {
             cfg = graft.algo.PLP.Config(maxIter = 8))
         }
         r.history.foreach(h => println(s"[profile] sweep ${h.iter}: ${h.wallMs} ms, metric=${h.metric}"))
+      case "slow4" =>
+        // the four heavyweight bench entries, individually timed on the
+        // bench graph (kcore / plm / diameter / scc + the 4-source bfs)
+        val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_NODES", "2000000").toLong
+        val edges = time("bench graph") {
+          val e = graft.ingest.PageGen.edges(spark, n, seed = 42,
+            numPartitions = 64)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          println(s"[profile] edges = ${e.count()}")
+          e
+        }
+        val nodes = graft.core.GraphOps.nodes(edges)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("nodes count") { nodes.count() }
+        val which = sys.env.getOrElse("SPARK_GRAFT_SLOW4", "bfs,kcore,scc,diameter,plm")
+          .split(",").toSet
+        if (which("bfs")) time("bfs 4 sources") {
+          val sources = nodes.orderBy(xxhash64(col("id"), lit(1L)), col("id"))
+            .limit(4).select("id")
+          println("[profile] max dist = " + graft.algo.SSSP
+            .bfs(spark, edges, sources).agg(max("dist")).head().getLong(0))
+        }
+        if (which("kcore")) time("kcore") {
+          println("[profile] max coreness = " + graft.algo.Centrality
+            .coreDecomposition(spark, edges).agg(max("coreness")).head().getLong(0))
+        }
+        if (which("scc")) time("scc") {
+          println("[profile] n scc = " + (graft.algo.StronglyConnectedComponents
+            .run(spark, edges).agg(max("component")).head().getLong(0) + 1))
+        }
+        if (which("diameter")) time("diameter") {
+          println("[profile] diameter = " +
+            graft.algo.Diameter.exact(spark, edges))
+        }
+        if (which("plm")) time("plm") {
+          println("[profile] plm communities = " + graft.algo.PLM
+            .run(spark, edges).labels.agg(countDistinct("label")).head().getLong(0))
+        }
       case _ => sys.error(s"unknown profile target $what")
     }
     spark.stop()

@@ -170,6 +170,20 @@ class Round4Spec extends SparkTestBase {
     assert(math.abs(p(3L) - 2.0 / 3) < 1e-9)
   }
 
+  test("local partition coverage: weighted same-community edge fraction") {
+    val s = spark
+    import s.implicits._
+    // triangle {0,1,2} in community 0 plus weighted bridge 2-3 (comm 1)
+    val edges = Seq((0L, 1L, 1.0), (1L, 2L, 2.0), (0L, 2L, 1.0),
+      (2L, 3L, 4.0)).toDF("src", "dst", "weight")
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L)).toDF("id", "label")
+    val c = Centrality.localPartitionCoverage(spark, edges, labels)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c(0L) == 1.0 && c(1L) == 1.0)
+    assert(math.abs(c(2L) - 3.0 / 7.0) < 1e-12) // (2+1)/(2+1+4)
+    assert(c(3L) == 0.0)
+  }
+
   // ----------------------------------------------------- matching family
   test("local-max matching: disjoint, maximal, weight-dominant") {
     val edges = edgeDF(Seq((0L, 1L, 1.0), (1L, 2L, 5.0), (2L, 3L, 1.0),
