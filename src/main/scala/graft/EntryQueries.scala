@@ -207,6 +207,29 @@ object EntryQueries {
         .orderBy("id")
     }),
 
+    // determinized synchronous SEIR on G2, patient zero = min node id;
+    // the integer-hash contact draw replays exactly in the unrolled oracle
+    "seir" -> ((s, d) =>
+      graft.algo.Epidemic.seir(s, g2(s, d)).orderBy("t", "state")),
+
+    "assortativity" -> ((s, d) => {
+      import s.implicits._
+      Seq(graft.algo.Assortativity.degreeAssortativity(s, g1Simple(s, d)))
+        .toDF("r").select(round(col("r"), 6).as("r"))
+    }),
+
+    "q_overlap" -> ((s, d) => {
+      val nodes = GraphOps.nodes(g1Canon(s, d))
+      val p1 = nodes.select(col("id"), (col("id") % 5).as("label"))
+      val p2 = nodes.select(col("id"), (col("id") % 7).as("label"))
+      graft.algo.Overlapper.combine(s, Seq(p1, p2)).orderBy("id")
+    }),
+
+    "es_simmelian" -> ((s, d) =>
+      graft.algo.EdgeScores.simmelianOverlap(s, g1Simple(s, d), maxRank = 5)
+        .select(col("src"), col("dst"), col("score"))
+        .orderBy("src", "dst")),
+
     "nd_jaccard" -> ((s, d) =>
       graft.algo.NodeDistances.jaccardDistance(s, g1Simple(s, d))
         .select(col("src"), col("dst"), round(col("distance"), 6).as("distance"))
@@ -378,6 +401,12 @@ object EntryQueries {
     // cut-property set the oracle derives from minimax path weights
     "msf" -> ((s, d) =>
       graft.algo.SpanningForest.minimumSpanningForest(s, gMsf(s, d))
+        .select(col("src"), col("dst")).orderBy("src", "dst")),
+
+    // distinct weights ⇒ unique MAX spanning forest; oracle = the dual cut
+    // property (edge in MaxSF iff weight = maximin path weight)
+    "msf_max" -> ((s, d) =>
+      graft.algo.SpanningForest.maximumSpanningForest(s, gMsf(s, d))
         .select(col("src"), col("dst")).orderBy("src", "dst")),
 
     "luby_mis" -> ((s, d) =>
@@ -998,6 +1027,32 @@ ORDER BY src, dst""")
     sb.toString
   }
 
+  /** MaxSF dual of [[msfSql]]: edge e is in the unique maximum spanning
+    * forest iff its weight equals the MAXIMIN path weight between its
+    * endpoints (doubling relaxations, `least`/`max` swapped for
+    * `greatest`/`min`).
+    */
+  private def msfMaxSql(rounds: Int = 6): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $GMSFSQL,\n")
+    sb.append("xm0 AS MATERIALIZED (SELECT u, v, w AS mw FROM msym)")
+    for (t <- 1 to rounds) {
+      sb.append(s""",
+xm$t AS MATERIALIZED (
+  SELECT u, v, max(mw) AS mw FROM (
+    SELECT u, v, mw FROM xm${t - 1}
+    UNION ALL
+    SELECT a.u, b.v, least(a.mw, b.mw) AS mw
+    FROM xm${t - 1} a JOIN xm${t - 1} b ON a.v = b.u AND a.u <> b.v
+  ) GROUP BY 1, 2)""")
+    }
+    sb.append(s"""
+SELECT e.u AS src, e.v AS dst FROM ms e
+JOIN xm$rounds m ON m.u = e.u AND m.v = e.v AND m.mw = e.w
+ORDER BY src, dst""")
+    sb.toString
+  }
+
   /** Local-max matching, `rounds` unrolled rounds (`matching/
     * LocalMaxMatcher.cpp` determinized semantics — see
     * `algo/Matching.localMax`): per round, an edge joins the matching iff
@@ -1029,6 +1084,39 @@ mlv$t AS MATERIALIZED (SELECT src, dst, weight FROM mlv$p
     sb.append((1 to rounds).map(t => s"SELECT u, v FROM mdom$t")
       .mkString(" UNION ALL "))
     sb.append(") ORDER BY u, v")
+    sb.toString
+  }
+
+  /** SEIR simulation, `tMax` unrolled synchronous steps (`simulation/
+    * EpidemicSimulationSEIR.cpp` determinized — see `algo/Epidemic.seir`):
+    * per step, infectious u exposes susceptible neighbor v iff the
+    * integer contact hash clears `thr`; E→I after `eTime`, I→R after
+    * `iTime`; census of all four states after every sweep.
+    */
+  private def seirSql(tMax: Int, thr: Long, eTime: Int, iTime: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $G2SQLM,\n")
+    sb.append("s0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT min(id) FROM nodes2) THEN 'I' ELSE 'S' END AS st, CASE WHEN id = (SELECT min(id) FROM nodes2) THEN 0 ELSE NULL END AS ts FROM nodes2)")
+    for (t <- 0 until tMax) {
+      sb.append(s""",
+c$t AS (SELECT DISTINCT e.v AS id FROM sym2 e JOIN s$t su ON e.u = su.id AND su.st = 'I'
+  WHERE (e.u*1000003 + e.v*7919 + $t*104729) % 1000000 < $thr),
+s${t + 1} AS MATERIALIZED (SELECT s.id,
+  CASE WHEN s.st = 'S' AND c.id IS NOT NULL THEN 'E'
+       WHEN s.st = 'E' AND $t - s.ts >= $eTime THEN 'I'
+       WHEN s.st = 'I' AND $t - s.ts >= $iTime THEN 'R'
+       ELSE s.st END AS st,
+  CASE WHEN (s.st = 'S' AND c.id IS NOT NULL) OR (s.st = 'E' AND $t - s.ts >= $eTime)
+         OR (s.st = 'I' AND $t - s.ts >= $iTime) THEN $t ELSE s.ts END AS ts
+  FROM s$t s LEFT JOIN c$t c ON s.id = c.id)""")
+    }
+    sb.append("\nSELECT t, state, n FROM (")
+    sb.append((0 until tMax).map(t =>
+      s"""SELECT CAST($t AS BIGINT) AS t, sl.state AS state, CAST(coalesce(n.n, 0) AS BIGINT) AS n
+FROM (VALUES ('E'),('I'),('R'),('S')) sl(state)
+LEFT JOIN (SELECT st AS state, count(*) AS n FROM s${t + 1} GROUP BY 1) n ON sl.state = n.state""")
+      .mkString(" UNION ALL "))
+    sb.append(") ORDER BY t, state")
     sb.toString
   }
 
@@ -1425,6 +1513,39 @@ ORDER BY src, dst""")
          |  round(coalesce(c.t, 0) * 1.0 / (da.degree + db.degree - coalesce(c.t, 0)), 6) AS score
          |FROM e_simple e LEFT JOIN cnt c ON e.src = c.src AND e.dst = c.dst
          |JOIN deg da ON e.src = da.id JOIN deg db ON e.dst = db.id
+         |ORDER BY e.src, e.dst""".stripMargin,
+
+    "assortativity" ->
+      s"""WITH $G1SQL
+         |SELECT round(corr(da.degree * 1.0, db.degree * 1.0), 6) AS r
+         |FROM e_sym e JOIN deg da ON e.src = da.id JOIN deg db ON e.dst = db.id""".stripMargin,
+
+    "q_overlap" ->
+      s"""WITH $G1SQL,
+         |t AS (SELECT id, id % 5 AS l0, id % 7 AS l1 FROM nodes),
+         |g AS (SELECT l0, l1, min(id) AS label FROM t GROUP BY 1, 2)
+         |SELECT t.id, g.label FROM t JOIN g ON t.l0 = g.l0 AND t.l1 = g.l1
+         |ORDER BY id""".stripMargin,
+
+    "es_simmelian" ->
+      s"""WITH $G1SQL,
+         |tris AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM e_simple e1
+         |  JOIN e_simple e2 ON e1.dst = e2.src
+         |  JOIN e_simple e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |sides AS (SELECT u AS a, v AS b FROM tris UNION ALL
+         |  SELECT u, w FROM tris UNION ALL SELECT v, w FROM tris),
+         |cnt AS (SELECT a AS src, b AS dst, count(*) AS t FROM sides GROUP BY 1,2),
+         |tcnt AS (SELECT e.src, e.dst, coalesce(c.t, 0) AS t
+         |  FROM e_simple e LEFT JOIN cnt c ON e.src = c.src AND e.dst = c.dst),
+         |inc AS (SELECT src AS node, dst AS other, t FROM tcnt
+         |  UNION ALL SELECT dst, src, t FROM tcnt),
+         |rk AS (SELECT node, other,
+         |  rank() OVER (PARTITION BY node ORDER BY t DESC) - 1 AS r FROM inc),
+         |keep AS (SELECT node, other FROM rk WHERE r <= 5),
+         |ov AS (SELECT a.node AS u, b.node AS v, count(*) AS c FROM keep a
+         |  JOIN keep b ON a.other = b.other AND a.node < b.node GROUP BY 1, 2)
+         |SELECT e.src, e.dst, CAST(coalesce(o.c, 0) AS DOUBLE) AS score
+         |FROM e_simple e LEFT JOIN ov o ON e.src = o.u AND e.dst = o.v
          |ORDER BY e.src, e.dst""".stripMargin,
 
     "nd_jaccard" ->
@@ -2122,7 +2243,9 @@ ORDER BY src, dst""")
     "kcore" -> kcoreSql(48),
     "luby_mis" -> lubySql(16),
     "msf" -> msfSql(6),
+    "msf_max" -> msfMaxSql(6),
     "matching" -> matchingSql(12),
+    "seir" -> seirSql(12, 300000L, 2, 3),
     "betweenness" -> betweennessSql(40),
     "scd_nibble" -> scdSql(40),
     "anf_diameter" -> anfSql,

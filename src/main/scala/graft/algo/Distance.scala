@@ -103,6 +103,17 @@ object NodeDistances {
   */
 object SpanningForest {
 
+  /** Maximum spanning forest (`graph/RandomMaximumSpanningForest.cpp`
+    * capability, determinized: the reference breaks weight ties with a
+    * random attribute, here ties break on ascending (src, dst) — one fixed
+    * member of the max-forest family): Borůvka on negated weights.
+    */
+  def maximumSpanningForest(spark: SparkSession, edges: DataFrame,
+                            maxRounds: Int = 64): DataFrame =
+    minimumSpanningForest(spark,
+        edges.withColumn("weight", -col("weight")), maxRounds)
+      .withColumn("weight", -col("weight"))
+
   def minimumSpanningForest(spark: SparkSession, edges: DataFrame,
                             maxRounds: Int = 64): DataFrame = {
     val canon = GraphOps.canonicalize(edges.where(col("src") =!= col("dst")))

@@ -97,34 +97,51 @@ object EdgeScores {
           (col("du") + col("dv") - col("triangles"))).as("score"))
   }
 
-  /** SimmelianOverlapScore (`sparsification/SimmelianOverlapScore.cpp`,
-    * non-parametric variant simplified): overlap = number of common
-    * top-maxRank strong ties; here scored as the triangle count restricted
-    * to each endpoint's top-k strongest (by triangle count) incident edges.
+  /** SimmelianOverlapScore (`sparsification/SimmelianOverlapScore.cpp:24-29`
+    * with `SimmelianScore.cpp:16-73` rank semantics): each node ranks its
+    * neighbors by Simmelian strength (= the edge's triangle count) with
+    * COMPETITION ranking — ties share a rank, rank 0 is best, and every tie
+    * at rank ≤ maxRank is kept (the truncated set may exceed maxRank
+    * members). score(u,v) = |N≤(u) ∩ N≤(v)| over the truncated
+    * neighborhoods, the edge partner itself excluded (`SimmelianScore.cpp:
+    * 95-97`). The rank is computed hub-safely from a per-node strength
+    * HISTOGRAM (rank of strength s = # incident edges strictly stronger —
+    * ≤ #distinct strengths rows per node, same shape as kcore's H-index
+    * histogram), not a per-node window over the raw incidence list.
     */
   def simmelianOverlap(spark: SparkSession, edges: DataFrame,
                        maxRank: Int = 10): DataFrame = {
     val tri = Triangles.perEdge(spark, edges)
-    // rank each edge within both endpoints' incidence lists by strength —
-    // top-k per node via the salted two-phase primitive, so a hub's
-    // incidence list never lands in a single window task
     val incident = tri.select(col("src").as("node"), col("dst").as("other"),
         col("triangles"))
       .unionByName(tri.select(col("dst").as("node"), col("src").as("other"),
         col("triangles")))
-    val topk = graft.core.Skew.saltedTopK(incident, Seq("node"),
-        Seq(desc("triangles"), asc("other")), maxRank)
+    val hist = incident.groupBy("node", "triangles")
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("triangles").desc)
+    val keepVals = hist
+      .withColumn("rank0", sum("cnt").over(w) - col("cnt"))
+      .where(col("rank0") <= maxRank).select("node", "triangles")
+    val topk = incident.join(keepVals, Seq("node", "triangles"), "left_semi")
       .select(col("node"), col("other"))
-    // strong neighborhoods: overlap of topk sets of u and v
-    topk.select(col("node").as("u"), col("other").as("w1"))
-      .join(topk.select(col("node").as("v"), col("other").as("w1")), "w1")
-      .where(col("u") < col("v"))
-      .groupBy(col("u").as("src"), col("v").as("dst"))
-      .agg(count(lit(1)).cast("double").as("score"))
-      .join(GraphOps.canonicalizeUnweighted(
-        edges.where(col("src") =!= col("dst"))).select("src", "dst"),
-        Seq("src", "dst"), "right")
-      .select(col("src"), col("dst"), coalesce(col("score"), lit(0.0)).as("score"))
+    // overlap per EDGE: expand each edge by topk(src)'s members (O(m·k)
+    // rows) and semi-join against topk(dst) — matches the reference's
+    // per-edge set intersection cost. A self-join of the topk table on the
+    // member column instead would fan out quadratically on a member that
+    // is everyone's strongest tie (a hub), so it is avoided. The edge
+    // partner never counts: (dst, w1=dst) can't exist (no self-loops).
+    val canon = GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst"))).select("src", "dst")
+    val cand = canon
+      .join(topk.select(col("node").as("src"), col("other").as("w1")), "src")
+    val hits = cand
+      .join(topk.select(col("node").as("dst"), col("other").as("w1")),
+        Seq("dst", "w1"), "left_semi")
+      .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("score"))
+    canon.join(hits, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("score"), lit(0.0)).as("score"))
   }
 
   /** LocalDegreeScore (`sparsification/LocalDegreeScore.cpp`): for edge

@@ -23,6 +23,26 @@ object Assortativity {
   }
 }
 
+/** Partition overlap combiner (`overlap/HashingOverlapper.cpp`,
+  * `overlap/Overlapper.h`): the finest common coarsening of several
+  * partitions — two nodes share a combined label iff they agree on EVERY
+  * input partition. The reference combines labels with a djb2 hash
+  * (collisions possible by design); here the combined label is the min
+  * node id of each label-tuple group — collision-free, deterministic, and
+  * consistent with the engine's CC min-id labeling convention.
+  */
+object Overlapper {
+  def combine(spark: SparkSession, partitions: Seq[DataFrame]): DataFrame = {
+    require(partitions.nonEmpty, "need at least one partition")
+    val joined = partitions.zipWithIndex
+      .map { case (p, i) => p.select(col("id"), col("label").as(s"_l$i")) }
+      .reduce(_.join(_, "id"))
+    val keys = partitions.indices.map(i => s"_l$i")
+    val groups = joined.groupBy(keys.map(col): _*).agg(min("id").as("label"))
+    joined.join(groups, keys).select("id", "label")
+  }
+}
+
 /** Deterministic synthetic graph generators (reference
   * `networkit/cpp/generators/`, 5041 LoC of stateful-RNG generators) —
   * re-expressed as pure counter-based functions of (seed, index) so output

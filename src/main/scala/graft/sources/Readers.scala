@@ -378,6 +378,41 @@ object Writers {
       .coalesce(1).write.mode("overwrite").text(path)
   }
 
+  /** DGS writer (`dynamics/DGSWriter.cpp` capability): serialize an ordered
+    * event log to DGS004 lines — the inverse of [[Readers.dgs]]. Node keys
+    * are the numeric ids; edge names are `e<u>_<v>`. TimeStep → `st`,
+    * weight-update and weight-increment both serialize as `ce` (DGS has a
+    * single change-edge command; an increment is materialized as the
+    * resulting absolute weight by the caller if exactness matters).
+    */
+  def dgs(events: org.apache.spark.sql.Dataset[graft.streaming.GraphEvent],
+          path: String): Unit = {
+    import graft.streaming.GraphEventType._
+    val lines = events.toDF()
+      .select(col("ts").as("ord"), when(col("etype") === TimeStep, lit("st"))
+        .when(col("etype").isin(NodeAddition, NodeRestoration),
+          concat(lit("an "), col("u")))
+        .when(col("etype") === NodeRemoval, concat(lit("dn "), col("u")))
+        .when(col("etype") === EdgeAddition,
+          concat(lit("ae e"), col("u"), lit("_"), col("v"), lit(" "),
+            col("u"), lit(" "), col("v"), lit(" weight="), col("w")))
+        .when(col("etype") === EdgeRemoval,
+          concat(lit("de e"), col("u"), lit("_"), col("v")))
+        .when(col("etype").isin(EdgeWeightUpdate, EdgeWeightIncrement),
+          concat(lit("ce e"), col("u"), lit("_"), col("v"),
+            lit(" weight="), col("w")))
+        .as("value"))
+      .where(col("value").isNotNull)
+    import lines.sparkSession.implicits._
+    // header gets ord −2/−1; one partition sorted in-place so the physical
+    // line order is guaranteed (a bare union + coalesce is not order-stable)
+    Seq((-2L, "DGS004"), (-1L, "graft 0 0")).toDF("ord", "value")
+      .unionByName(lines)
+      .repartition(1).sortWithinPartitions("ord")
+      .select("value")
+      .write.mode("overwrite").text(path)
+  }
+
   /** Cover writer (`io/CoverWriter.cpp`): line i = members of community i. */
   def cover(memberships: DataFrame, path: String): Unit =
     memberships.groupBy("label")

@@ -184,6 +184,89 @@ class Round4Spec extends SparkTestBase {
     assert(c(3L) == 0.0)
   }
 
+  test("simmelian overlap: competition ranks, ties kept, partner excluded") {
+    // two triangles sharing edge (1,2): tri counts — (1,2)=2, others=1
+    val edges = edgeDF(undirected(
+      (0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)))
+    val s0 = EdgeScores.simmelianOverlap(spark, edges, maxRank = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // rank-0 sets: N≤(0)={1,2} (tied), N≤(1)={2}, N≤(2)={1}, N≤(3)={1,2}
+    assert(s0((0L, 1L)) == 1.0) // common member 2
+    assert(s0((0L, 2L)) == 1.0) // common member 1
+    assert(s0((1L, 2L)) == 0.0) // only each other — partner excluded
+    assert(s0((1L, 3L)) == 1.0 && s0((2L, 3L)) == 1.0)
+    val s9 = EdgeScores.simmelianOverlap(spark, edges, maxRank = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(s9((1L, 2L)) == 2.0) // full sets: common members {0, 3}
+  }
+
+  test("maximum spanning forest keeps the heaviest edges") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((0L, 1L, 1.0), (1L, 2L, 2.0), (0L, 2L, 3.0))
+      .toDF("src", "dst", "weight")
+    val f = SpanningForest.maximumSpanningForest(spark, edges)
+      .select("src", "dst", "weight").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(f == Set((1L, 2L, 2.0), (0L, 2L, 3.0)))
+  }
+
+  test("SEIR: deterministic wave on a path graph with transP=1") {
+    val edges = edgeDF(undirected((0L, 1L), (1L, 2L), (2L, 3L)))
+    val stats = Epidemic.seir(spark, edges, zero = Some(0L),
+        Epidemic.Config(tMax = 5, transP = 1.0, eTime = 1, iTime = 1))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // t=0: 0 infectious exposes 1
+    assert(stats((0L, "S")) == 2 && stats((0L, "E")) == 1 &&
+      stats((0L, "I")) == 1 && stats((0L, "R")) == 0)
+    // t=1: 1 becomes infectious, 0 removed
+    assert(stats((1L, "I")) == 1 && stats((1L, "R")) == 1 && stats((1L, "E")) == 0)
+    // t=2: 1 exposes 2 then is removed
+    assert(stats((2L, "E")) == 1 && stats((2L, "R")) == 2)
+    // t=4: wave reaches 3; everyone else removed
+    assert(stats((4L, "E")) == 1 && stats((4L, "R")) == 3 && stats((4L, "S")) == 0)
+  }
+
+  test("overlapper: combined labels agree iff all partitions agree") {
+    val s = spark
+    import s.implicits._
+    val p1 = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)).toDF("id", "label")
+    val p2 = Seq((0L, 7L), (1L, 8L), (2L, 9L), (3L, 9L)).toDF("id", "label")
+    val c = Overlapper.combine(spark, Seq(p1, p2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(2L) == c(3L))            // agree on both partitions
+    assert(c(0L) != c(1L))            // split by p2
+    assert(c(0L) != c(2L) && c(1L) != c(2L))
+    assert(c(2L) == 2L)               // min-id labeling
+  }
+
+  test("DGS writer: round-trips through the reader") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.{GraphEvent, GraphEventType => T}
+    val evs = Seq(
+      GraphEvent(T.NodeAddition, 0, 0, 0.0, 1),
+      GraphEvent(T.NodeAddition, 1, 0, 0.0, 2),
+      GraphEvent(T.EdgeAddition, 0, 1, 2.5, 3),
+      GraphEvent(T.TimeStep, 0, 0, 0.0, 4),
+      GraphEvent(T.EdgeWeightUpdate, 0, 1, 4.0, 5),
+      GraphEvent(T.EdgeRemoval, 0, 1, 0.0, 6),
+      GraphEvent(T.NodeRemoval, 1, 0, 0.0, 7))
+    val dir = java.nio.file.Files.createTempDirectory("dgsrt").toString
+    graft.sources.Writers.dgs(evs.toDS(), s"$dir/e.dgs")
+    val part = new java.io.File(s"$dir/e.dgs").listFiles()
+      .filter(_.getName.endsWith(".txt")).head
+    val back = graft.sources.Readers.dgs(spark, part.getAbsolutePath)
+      .collect().sortBy(_.ts)
+    // node keys are written as ids in first-appearance order, so the
+    // reader's first-appearance remap is the identity here
+    assert(back.map(_.etype).toSeq == evs.map(_.etype))
+    assert(back.map(_.u).toSeq == evs.map(_.u))
+    assert(back.map(_.v).toSeq == evs.map(_.v))
+    assert(back.collect { case e if e.etype == T.EdgeAddition => e.w }
+      .toSeq == Seq(2.5))
+  }
+
   // ----------------------------------------------------- matching family
   test("local-max matching: disjoint, maximal, weight-dominant") {
     val edges = edgeDF(Seq((0L, 1L, 1.0), (1L, 2L, 5.0), (2L, 3L, 1.0),
