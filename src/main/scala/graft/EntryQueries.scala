@@ -778,6 +778,13 @@ object EntryQueries {
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
         .orderBy("a", "b")),
 
+    // LSH-bucketed near-dup — the 100 TB path; the n² emb_neardup above
+    // stays as the small-scale verification baseline
+    "emb_neardup_lsh" -> ((s, d) =>
+      Dedup.embeddingCosinePairsLsh(t(s, d, "embeddings"), minSim = 0.4)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+        .orderBy("a", "b")),
+
     "emb_centroids" -> ((s, d) =>
       t(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding").cast("array<double>"))
@@ -1835,6 +1842,23 @@ ORDER BY src, dst""")
         |  round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
         |FROM v a JOIN v b ON a.id < b.id
         |WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+        |ORDER BY a, b""".stripMargin,
+
+    "emb_neardup_lsh" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+        |comp AS (SELECT id, e, unnest(range(len(e))) AS pos FROM v),
+        |proj AS (SELECT c.id, p.plane,
+        |    sum(c.e[c.pos + 1] * CASE WHEN (p.plane*1000003 + c.pos*7919) % 1000000 < 500000 THEN 1.0 ELSE -1.0 END) AS s
+        |  FROM comp c CROSS JOIN (SELECT unnest(range(16)) AS plane) p
+        |  GROUP BY 1, 2),
+        |bits AS (SELECT id, plane, CASE WHEN s >= 0 THEN 1 ELSE 0 END AS bit FROM proj),
+        |keys AS (SELECT id, plane // 4 AS band, sum(bit << (plane % 4)) AS key FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM keys x
+        |  JOIN keys y ON x.band = y.band AND x.key = y.key AND x.id < y.id)
+        |SELECT c.a, c.b,
+        |  round(list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cos
+        |FROM cand c JOIN v va ON c.a = va.id JOIN v vb ON c.b = vb.id
+        |WHERE list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) >= 0.4
         |ORDER BY a, b""".stripMargin,
 
     "emb_centroids" ->

@@ -150,6 +150,51 @@ object Dedup {
       .where(col("cos") >= minSim)
   }
 
+  /** Random-hyperplane LSH cosine near-dup — the SCALE path for
+    * [[embeddingCosinePairs]] (which stays as the exact n² verification
+    * baseline): `planes` deterministic ±1 hyperplanes (sign of the integer
+    * mix (p·1000003 + dim·7919) mod 10⁶ — replayable in any SQL engine),
+    * signature bit p = sign of the projection, `bands` bands of
+    * planes/bands bits; candidates share ≥1 band key, then the exact
+    * cosine filter runs on candidates only. Collision probability per
+    * plane for angle θ is 1 − θ/π, so recall for cos ≥ 0.9 pairs at
+    * 16 planes / 4 bands is ≈ 95% while buckets stay tiny. Projections are
+    * row-local higher-order-function folds (no cross join, codegen);
+    * the only shuffles are the band-key groupBys and the candidate join.
+    */
+  def embeddingCosinePairsLsh(embs: DataFrame, minSim: Double,
+                              planes: Int = 16, bands: Int = 4,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    require(planes % bands == 0, "planes must divide into bands")
+    val bpb = planes / bands
+    val v = embs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    def bit(p: Int): Column = {
+      val proj = aggregate(
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          (x, i) => x * when((lit(p.toLong) * 1000003L + i * 7919L)
+            % 1000000L < 500000L, 1.0).otherwise(-1.0)),
+        lit(0.0), _ + _)
+      when(proj >= 0, 1L).otherwise(0L)
+    }
+    val keyed = v.select(col("id") +: (0 until bands).map { b =>
+      (0 until bpb).map(j => bit(b * bpb + j) * (1L << j))
+        .reduce(_ + _).as(s"k$b")
+    }: _*)
+    val bandKeys = keyed.select(col("id"), posexplode(
+      array((0 until bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
+    val cand = bandKeys.as("x").join(bandKeys.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    cand
+      .join(v.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(v.select(col("id").as("b"), col("v").as("vb")), "b")
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= minSim)
+  }
+
   /** Cosine similarity of two double arrays via built-in higher-order
     * functions (codegen-friendly; no UDF).
     */

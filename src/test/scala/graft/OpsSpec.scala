@@ -252,6 +252,18 @@ class AnnSpec extends SparkTestBase {
     assert(got.map(_._2).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("LSH cosine near-dup: subset of exact pairs, high recall on clusters") {
+    import graft.dedup.Dedup
+    val exact = Dedup.embeddingCosinePairs(embs, minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingCosinePairsLsh(embs, minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact final filter ⇒ precision 1
+    assert(exact.nonEmpty)
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${exact.size} exact pairs)")
+  }
+
   test("IVF top-k achieves high recall vs brute force on clustered data") {
     val queries = embs.where(col("vec_id").isin(0L, 20L, 40L))
     val bf = Ann.bruteForceTopK(embs, queries, k = 5)
