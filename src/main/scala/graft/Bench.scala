@@ -119,7 +119,8 @@ object Bench {
     // relational surface on driver tables; state cleared between queries so
     // each is measured from a clean block manager
     for (q <- Seq("tri_per_edge", "pr20", "dedup_minhash_pairs", "emb_topk",
-        "txt_quality", "events_sessions", "cc_components")) {
+        "emb_neardup_lsh", "txt_quality", "events_sessions", "cc_components",
+        "matching", "seir")) {
       results(q) = time { EntryQueries.queries(q)(spark, sfDir).count() }
       clearSessionState()
     }
