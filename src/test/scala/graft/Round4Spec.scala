@@ -240,6 +240,32 @@ class Round4Spec extends SparkTestBase {
     assert(c(2L) == 2L)               // min-id labeling
   }
 
+  test("edge-list writer: round-trips through the reader") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((0L, 1L, 2.5), (1L, 2L, 1.0), (3L, 0L, 4.0))
+      .toDF("src", "dst", "weight")
+    val dir = java.nio.file.Files.createTempDirectory("elrt").toString
+    graft.sources.Writers.edgeList(edges, s"$dir/e.txt")
+    val back = graft.sources.Readers
+      .edgeList(spark, s"$dir/e.txt/*.txt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back == Set((0L, 1L, 2.5), (1L, 2L, 1.0), (3L, 0L, 4.0)))
+  }
+
+  test("partition writer: line i holds node i's label; reader inverts") {
+    val s = spark
+    import s.implicits._
+    val labels = Seq((0L, 5L), (1L, 5L), (2L, 9L)).toDF("id", "label")
+    val dir = java.nio.file.Files.createTempDirectory("prt").toString
+    graft.sources.Writers.partition(labels, s"$dir/p.txt")
+    val part = new java.io.File(s"$dir/p.txt").listFiles()
+      .filter(_.getName.endsWith(".txt")).head
+    val back = graft.sources.Readers.partition(spark, part.getAbsolutePath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back == Map(0L -> 5L, 1L -> 5L, 2L -> 9L))
+  }
+
   test("DGS writer: round-trips through the reader") {
     val s = spark
     import s.implicits._
