@@ -286,6 +286,14 @@ object EntryQueries {
         .select(col("id"), col("dist")).orderBy("id")
     }),
 
+    // weighted SSSP, fixed 8 Bellman-Ford relaxation rounds from the min
+    // node (pr20-style bounded schedule — the oracle replays the exact
+    // rounds, so both sides agree even where 8 rounds haven't converged)
+    "sssp_relax8" -> ((s, d) => {
+      SSSP.weighted(s, g1Canon(s, d), source = 0L, maxIter = 8)
+        .select(col("id"), round(col("dist"), 6).as("dist")).orderBy("id")
+    }),
+
     // ---- PageRank -------------------------------------------------------
     // fixed 20 iterations (oracle-matched); reference update rule
     "pr20" -> ((s, d) => {
@@ -1031,6 +1039,33 @@ mm$t AS MATERIALIZED (
 SELECT e.u AS src, e.v AS dst FROM ms e
 JOIN mm$rounds m ON m.u = e.u AND m.v = e.v AND m.mw = e.w
 ORDER BY src, dst""")
+    sb.toString
+  }
+
+  /** Weighted SSSP, `rounds` unrolled Bellman-Ford relaxations from node 0
+    * over the weighted symmetrized G1 (NULL dist = +∞/unreached; the final
+    * SELECT drops unreached rows, mirroring `SSSP.weighted`'s output
+    * contract).
+    */
+  private def ssspSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $G1SQL,\n")
+    sb.append("""wsym AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS weight FROM e_canon WHERE src <> dst
+      |  UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) FROM e_canon WHERE src <> dst),
+      |sd0 AS MATERIALIZED (SELECT id, CASE WHEN id = 0 THEN 0.0 END AS dist FROM nodes)""".stripMargin)
+    for (t <- 1 to rounds) {
+      val p = t - 1
+      sb.append(s""",
+sd$t AS MATERIALIZED (SELECT d.id,
+  CASE WHEN d.dist IS NULL THEN p.prop
+       WHEN p.prop IS NULL THEN d.dist
+       ELSE least(d.dist, p.prop) END AS dist
+  FROM sd$p d LEFT JOIN (
+    SELECT e.dst AS id, min(dp.dist + e.weight) AS prop
+    FROM wsym e JOIN sd$p dp ON e.src = dp.id
+    WHERE dp.dist IS NOT NULL GROUP BY 1) p ON d.id = p.id)""")
+    }
+    sb.append(s"\nSELECT id, round(dist, 6) AS dist FROM sd$rounds WHERE dist IS NOT NULL ORDER BY id")
     sb.toString
   }
 
@@ -2270,6 +2305,7 @@ ORDER BY src, dst""")
     "msf_max" -> msfMaxSql(6),
     "matching" -> matchingSql(12),
     "seir" -> seirSql(12, 300000L, 2, 3),
+    "sssp_relax8" -> ssspSql(8),
     "betweenness" -> betweennessSql(40),
     "scd_nibble" -> scdSql(40),
     "anf_diameter" -> anfSql,
