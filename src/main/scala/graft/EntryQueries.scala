@@ -294,6 +294,24 @@ object EntryQueries {
         .select(col("id"), round(col("dist"), 6).as("dist")).orderBy("id")
     }),
 
+    // eccentricity (`distance/Eccentricity.cpp` surface) from the 8
+    // lowest-id sources — max BFS distance per source
+    "eccentricity" -> ((s, d) => {
+      val e = g2(s, d)
+      val srcs = GraphOps.nodes(e).orderBy("id").limit(8).select("id")
+      SSSP.eccentricity(s, e, srcs).orderBy("id")
+    }),
+
+    // exact hop plot on G2: #node pairs at each shortest-path distance,
+    // from all-sources batched BFS (the ANF sketch's verification ground
+    // truth — `distance/HopPlotApproximation.cpp` exact counterpart)
+    "hop_plot_exact" -> ((s, d) => {
+      val e = g2(s, d)
+      SSSP.bfs(s, e, GraphOps.nodes(e).select("id"), maxDepth = 20)
+        .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+        .select(col("dist").as("h"), col("n_pairs")).orderBy("h")
+    }),
+
     // ---- PageRank -------------------------------------------------------
     // fixed 20 iterations (oracle-matched); reference update rule
     "pr20" -> ((s, d) => {
@@ -1530,6 +1548,23 @@ ORDER BY src, dst""")
          |SELECT id, min(dd) AS dist FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
     "pr20" -> pr20Sql,
+
+    "eccentricity" ->
+      s"""WITH RECURSIVE $G2SQL,
+         |srcs AS (SELECT id AS s FROM nodes2 ORDER BY id LIMIT 8),
+         |walk(s, id, dd) AS (SELECT s, s, 0 FROM srcs
+         |  UNION SELECT walk.s, sy.v, walk.dd + 1 FROM walk JOIN sym2 sy ON sy.u = walk.id
+         |    WHERE walk.dd < 30),
+         |dist AS (SELECT s, id, min(dd) AS d FROM walk GROUP BY 1, 2)
+         |SELECT s AS id, max(d) AS eccentricity FROM dist GROUP BY 1 ORDER BY id""".stripMargin,
+
+    "hop_plot_exact" ->
+      s"""WITH RECURSIVE $G2SQL,
+         |walk(s, id, dd) AS (SELECT id, id, 0 FROM nodes2
+         |  UNION SELECT walk.s, sy.v, walk.dd + 1 FROM walk JOIN sym2 sy ON sy.u = walk.id
+         |    WHERE walk.dd < 20),
+         |dist AS (SELECT s, id, min(dd) AS d FROM walk GROUP BY 1, 2)
+         |SELECT d AS h, count(*) AS n_pairs FROM dist GROUP BY 1 ORDER BY h""".stripMargin,
 
     "closeness" ->
       s"""WITH RECURSIVE $G2SQL,

@@ -40,7 +40,8 @@ class PlanGuardSpec extends SparkTestBase {
     "kcore", "msf", "msf_max", "rsf", "luby_mis", "betweenness", "closeness",
     "top_closeness", "anf_diameter", "diameter", "scc", "scd_nibble",
     "alg_distance", "matching", "seir", "apsp_sample", "eccentricity",
-    "dyn_sssp", "sssp_relax8", "emb_ivf_topk", "lp_algebraic")
+    "dyn_sssp", "sssp_relax8", "hop_plot_exact", "emb_ivf_topk",
+    "lp_algebraic")
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
     val here = p +: p.children.flatMap(collectAll)
