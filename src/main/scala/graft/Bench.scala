@@ -24,114 +24,140 @@ object Bench {
   def buildSession(cpus: String): SparkSession =
     graft.core.Sessions.build(cpus, "graft-bench")
 
+  /** Fresh SparkSession per measured query (BASELINE.md protocol, now
+    * applied inside the harness itself rather than only in self-runs):
+    * `spark.stop()` tears down the block manager and deletes the local
+    * shuffle dirs, so no query inherits another's block-manager residue or
+    * shuffle-dir growth — the documented cause of the round-1 157→330→390 s
+    * same-session decay and of the round-2 gap between driver-observed and
+    * fresh-protocol numbers.
+    */
+  private def withSession[T](cpus: String)(f: SparkSession => T): T = {
+    val spark = buildSession(cpus)
+    spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
+    try f(spark)
+    finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = buildSession(cpus)
-
-    val edges = PageGen.edges(spark, benchNodes, seed = 42,
-        numPartitions = cpus.toInt * 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val m = edges.count()
-    val nodes = GraphOps.nodes(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nodes.count()
+    // Optional comma-separated subset for local iteration, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=pagerank,tri_per_edge
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    def wanted(q: String): Boolean = only.forall(_.contains(q))
 
     var prIters = 0
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-
-    // Warmup, discarded (BASELINE.md protocol: first run excluded — JIT +
-    // whole-stage-codegen compilation + cache materialization dominate it;
-    // measured: the first converged PageRank run is ~4× its steady state).
-    PageRank.run(spark, edges, nodes, PageRank.Config(tol = 1e-6, maxIter = 4))
-      .scores.agg(sum("score")).head()
-
-    // Free every iterative job's leftover localCheckpoint state between
-    // queries (each run's FINAL state stays pinned in the block manager
-    // otherwise — the IterationDriver frees only superseded generations).
-    // The shared persisted edges/nodes caches are DataFrame-level
-    // (CacheManager) and untouched by this.
-    def freeIterationStates(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .filter(org.apache.spark.rdd.graftshim.RddIntrospect.isLocallyCheckpointed)
-        .foreach(_.unpersist(blocking = false))
-
+    var m = 0L
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    freeIterationStates() // drop the warmup run's leftover state
-    results("pagerank") = time {
-      val r = PageRank.run(spark, edges, nodes,
-        PageRank.Config(tol = 1e-6, maxIter = 100))
-      prIters = r.iterations
-      r.scores.agg(sum("score")).head()
-    }
-    freeIterationStates()
-    results("connected_components") = time {
-      ConnectedComponents.run(spark, edges).agg(max("component")).head()
-    }
-    freeIterationStates()
-    results("plp") = time {
-      PLP.run(spark, edges, cfg = PLP.Config(maxIter = 8)).labels
-        .agg(countDistinct("label")).head()
-    }
-    freeIterationStates()
-    results("triangles") = time {
-      Triangles.globalCount(spark, edges)
-    }
-    freeIterationStates()
-    results("scc") = time {
-      algo.StronglyConnectedComponents.run(spark, edges)
-        .agg(max("component")).head()
-    }
-    // reference-bench parity (`benchmark/nk.py:21-80` benches CC,
-    // CoreDecomposition, BFS, PLM, PLP, Diameter):
-    freeIterationStates()
-    results("bfs") = time {
-      val sources = nodes.orderBy(xxhash64(col("id"), lit(1L)), col("id"))
-        .limit(4).select("id")
-      algo.SSSP.bfs(spark, edges, sources).agg(max("dist")).head()
-    }
-    freeIterationStates()
-    results("kcore") = time {
-      algo.Centrality.coreDecomposition(spark, edges)
-        .agg(max("coreness")).head()
-    }
-    freeIterationStates()
-    results("plm") = time {
-      algo.PLM.run(spark, edges).labels.agg(countDistinct("label")).head()
-    }
-    freeIterationStates()
-    results("diameter") = time {
-      algo.Diameter.exact(spark, edges)
-    }
-    // Drop everything the graph section pinned (persisted inputs + the
-    // final localCheckpoint state of every iterative job — those leak into
-    // the block manager otherwise and degrade later queries: BASELINE.md
-    // documents 157→330→390 s consecutive-run decay from exactly this).
-    def clearSessionState(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-      System.gc()
-    }
-    clearSessionState()
-    // relational surface on driver tables; state cleared between queries so
-    // each is measured from a clean block manager
-    for (q <- Seq("tri_per_edge", "pr20", "dedup_minhash_pairs", "emb_topk",
-        "emb_neardup_lsh", "txt_quality", "events_sessions", "cc_components",
-        "matching", "seir")) {
-      results(q) = time { EntryQueries.queries(q)(spark, sfDir).count() }
-      clearSessionState()
+
+    // Build + persist the seed-42 bench graph in a given session (setup is
+    // never part of a measured interval).
+    def graph(spark: SparkSession): (DataFrame, DataFrame) = {
+      val edges = PageGen.edges(spark, benchNodes, seed = 42,
+          numPartitions = cpus.toInt * 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      m = edges.count()
+      val nodes = GraphOps.nodes(edges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nodes.count()
+      (edges, nodes)
     }
 
-    val prEps = if (results("pagerank") > 0 && prIters > 0)
+    // HEADLINE (north rule): PageRank edges/s/iteration at tol 1e-6.
+    // Median of 3 reps, each in a FRESH session with its own discarded
+    // 4-iteration warmup (JIT + codegen + cache materialization dominate
+    // the first run; measured ~4× steady state).
+    if (wanted("pagerank")) {
+      val reps = (1 to 3).map { _ =>
+        withSession(cpus) { spark =>
+          val (edges, nodes) = graph(spark)
+          PageRank.run(spark, edges, nodes,
+            PageRank.Config(tol = 1e-6, maxIter = 4))
+            .scores.agg(sum("score")).head()
+          spark.sparkContext.getPersistentRDDs.values
+            .filter(org.apache.spark.rdd.graftshim.RddIntrospect.isLocallyCheckpointed)
+            .foreach(_.unpersist(blocking = false))
+          time {
+            val r = PageRank.run(spark, edges, nodes,
+              PageRank.Config(tol = 1e-6, maxIter = 100))
+            prIters = r.iterations
+            r.scores.agg(sum("score")).head()
+          }
+        }
+      }.sorted
+      System.err.println(s"pagerank reps: ${reps.mkString(", ")}")
+      results("pagerank") = reps(reps.length / 2)
+    }
+
+    // Remaining graph jobs: one timed run each, each in its own fresh
+    // session (reference-bench parity set, `benchmark/nk.py:21-80`: CC,
+    // CoreDecomposition, BFS, PLM, PLP, Diameter; plus triangles + SCC).
+    val graphJobs: Seq[(String, (SparkSession, DataFrame, DataFrame) => Unit)] = Seq(
+      "connected_components" -> ((s, e, _) =>
+        ConnectedComponents.run(s, e).agg(max("component")).head()),
+      "plp" -> ((s, e, _) =>
+        PLP.run(s, e, cfg = PLP.Config(maxIter = 8)).labels
+          .agg(countDistinct("label")).head()),
+      "triangles" -> ((s, e, _) => Triangles.globalCount(s, e)),
+      "scc" -> ((s, e, _) =>
+        algo.StronglyConnectedComponents.run(s, e)
+          .agg(max("component")).head()),
+      "bfs" -> ((s, e, n) => {
+        val sources = n.orderBy(xxhash64(col("id"), lit(1L)), col("id"))
+          .limit(4).select("id")
+        algo.SSSP.bfs(s, e, sources).agg(max("dist")).head()
+      }),
+      "kcore" -> ((s, e, _) =>
+        algo.Centrality.coreDecomposition(s, e)
+          .agg(max("coreness")).head()),
+      "plm" -> ((s, e, _) =>
+        algo.PLM.run(s, e).labels.agg(countDistinct("label")).head()),
+      "diameter" -> ((s, e, _) => { algo.Diameter.exact(s, e); () }),
+    )
+    for ((name, job) <- graphJobs if wanted(name)) {
+      results(name) = withSession(cpus) { spark =>
+        val (edges, nodes) = graph(spark)
+        time { job(spark, edges, nodes) }
+      }
+    }
+
+    // Relational surface on the driver's sf tables, one fresh session per
+    // query. tri_per_edge (the round-2 regression) gets the same
+    // warmup + median-of-3 treatment as the headline.
+    if (wanted("tri_per_edge")) {
+      val reps = (1 to 3).map { _ =>
+        withSession(cpus) { spark =>
+          EntryQueries.queries("tri_per_edge")(spark, sfDir).count() // warmup
+          time { EntryQueries.queries("tri_per_edge")(spark, sfDir).count() }
+        }
+      }.sorted
+      System.err.println(s"tri_per_edge reps: ${reps.mkString(", ")}")
+      results("tri_per_edge") = reps(reps.length / 2)
+    }
+    for (q <- Seq("pr20", "dedup_minhash_pairs", "emb_topk",
+        "emb_neardup_lsh", "txt_quality", "events_sessions", "cc_components",
+        "matching", "seir") if wanted(q)) {
+      results(q) = withSession(cpus) { spark =>
+        time { EntryQueries.queries(q)(spark, sfDir).count() }
+      }
+    }
+
+    val prEps = if (results.getOrElse("pagerank", 0.0) > 0 && prIters > 0)
       m.toDouble * prIters / results("pagerank") else 0.0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_nodes":$benchNodes,"bench_edges":$m,"pagerank_iters":$prIters,"pagerank_eps_per_iter":$prEps,"cpus":$cpus}""")
-    spark.stop()
   }
 }
 
@@ -211,6 +237,7 @@ object ScalingBench {
       if (args.length > 2) args(2) else "2",
       if (args.length > 3) args(3) else "8")
     val out = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Int, Long, Double)]
+    val repTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     for (cpus <- levels) {
       var iters = 0
       var medianIterMs = 0.0
@@ -247,6 +274,7 @@ object ScalingBench {
       }.drop(1).sorted // discard warmup run
       val median = times(times.length / 2)
       out(cpus) = (median, iters, m, medianIterMs)
+      repTimes(cpus) = times
       System.err.println(s"local[$cpus]: median=${median}s iters=$iters " +
         s"medianIter=${medianIterMs}ms m=$m times=$times")
     }
@@ -256,6 +284,8 @@ object ScalingBench {
     val eps4N = m0.toDouble * itN / t4N
     val eff = (tN / t4N) / 4.0
     val effIter = (iterN / iter4N) / 4.0
-    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","levels":"local[${levels.head}]->local[${levels.last}]","eff_per_iteration":$effIter,"pagerank_eps_per_iter_N":$epsN,"pagerank_eps_per_iter_4N":$eps4N,"sec_N":$tN,"sec_4N":$t4N,"median_iter_ms_N":$iterN,"median_iter_ms_4N":$iter4N,"iters":$itN,"edges":$m0,"nodes":$n}""")
+    val tsN = repTimes(levels.head).mkString("[", ",", "]")
+    val ts4N = repTimes(levels.last).mkString("[", ",", "]")
+    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","levels":"local[${levels.head}]->local[${levels.last}]","eff_per_iteration":$effIter,"pagerank_eps_per_iter_N":$epsN,"pagerank_eps_per_iter_4N":$eps4N,"sec_N":$tN,"sec_4N":$t4N,"reps_sec_N":$tsN,"reps_sec_4N":$ts4N,"median_iter_ms_N":$iterN,"median_iter_ms_4N":$iter4N,"iters":$itN,"edges":$m0,"nodes":$n}""")
   }
 }

@@ -278,6 +278,44 @@ object EntryQueries {
       graft.algo.StronglyConnectedComponents.run(s, aug).orderBy("id")
     }),
 
+    // one-call graph profile (`networkit/__init__.py:98-136` overview()):
+    // size, density, degree stats, components + largest, SCC count (on the
+    // same augmented directed view the scc query uses), mean local
+    // clustering, degree assortativity — every piece an existing audited
+    // operator, composed into one row
+    "overview" -> ((s, d) => {
+      import s.implicits._
+      val es = GraphOps.canonicalizeUnweighted(g2(s, d))
+      val deg = GraphOps.degrees(GraphOps.symmetrize(es))
+      val n = deg.count()
+      val m = es.count()
+      val compAgg = ConnectedComponents.run(s, g2(s, d))
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("nc"), max("sz").as("mx")).head()
+      val e2 = g2Directed(s, d)
+      val aug = e2.unionByName(e2.where(col("src") % 7 === 0)
+        .select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val sccN = graft.algo.StronglyConnectedComponents.run(s, aug)
+        .agg(countDistinct("component")).head().getLong(0)
+      val degAgg = deg.agg(min("degree"), max("degree"),
+        avg(col("degree").cast("double"))).head()
+      val lccAvg = Triangles.localClusteringCoefficient(s, g2(s, d))
+        .agg(avg("lcc")).head().getDouble(0)
+      val assort = graft.algo.Assortativity.degreeAssortativity(s, g2(s, d))
+      Seq((n, m, 2.0 * m / (n * (n - 1.0)), degAgg.getLong(0),
+          degAgg.getLong(1), degAgg.getDouble(2), compAgg.getLong(0),
+          compAgg.getLong(1), sccN, lccAvg, assort))
+        .toDF("n", "m", "density", "deg_min", "deg_max", "deg_avg",
+          "components", "largest_component", "scc_count", "lcc_avg",
+          "assortativity")
+        .select(col("n"), col("m"), round(col("density"), 6).as("density"),
+          col("deg_min"), col("deg_max"),
+          round(col("deg_avg"), 6).as("deg_avg"), col("components"),
+          col("largest_component"), col("scc_count"),
+          round(col("lcc_avg"), 6).as("lcc_avg"),
+          round(col("assortativity"), 6).as("assortativity"))
+    }),
+
     // ---- BFS ------------------------------------------------------------
     "bfs_hops" -> ((s, d) => {
       val srcId = g2(s, d).agg(least(min("src"), min("dst"))).head().getLong(0)
@@ -299,7 +337,9 @@ object EntryQueries {
     "eccentricity" -> ((s, d) => {
       val e = g2(s, d)
       val srcs = GraphOps.nodes(e).orderBy("id").limit(8).select("id")
-      SSSP.eccentricity(s, e, srcs).orderBy("id")
+      // maxDepth 30 matches the oracle's recursion cap (walk.dd < 30) so
+      // both sides share one bounded schedule, as hop_plot_exact does
+      SSSP.eccentricity(s, e, srcs, maxDepth = 30).orderBy("id")
     }),
 
     // exact hop plot on G2: #node pairs at each shortest-path distance,
@@ -408,8 +448,11 @@ object EntryQueries {
         .orderBy("src", "dst")),
 
     "es_backbone" -> ((s, d) => {
+      // threshold 0.08 ≈ the 90th-percentile Jaccard on G1 — keeps a
+      // nonempty, graph-dependent backbone (0.2 produced 0 rows: schema
+      // proven, filtering not)
       val scores = graft.algo.EdgeScores.jaccardSimilarity(s, g1Simple(s, d))
-      graft.algo.EdgeScores.globalThreshold(g1Simple(s, d), scores, 0.2)
+      graft.algo.EdgeScores.globalThreshold(g1Simple(s, d), scores, 0.08)
         .select("src", "dst").orderBy("src", "dst")
     }),
 
@@ -496,11 +539,12 @@ object EntryQueries {
     }),
 
     "top_closeness" -> ((s, d) => {
-      // TakeOrdered top-10 (per-partition top-k + driver merge of k rows)
-      // first; the rank window then runs over 10 rows, not all nodes
+      // pruned search (TopCloseness.cpp BFScut, batch-reformulated): the
+      // kth-best cutoff discards the degree tail without BFS-ing it —
+      // NOT the all-sources quadratic scan. The rank window runs over the
+      // returned 10 rows only.
       val w = Window.orderBy(desc("closeness"), asc("id"))
-      graft.algo.Closeness.forSources(s, g2(s, d), GraphOps.nodes(g2(s, d)))
-        .orderBy(desc("closeness"), asc("id")).limit(10)
+      graft.algo.TopCloseness.run(s, g2(s, d), k = 10, batchSize = 256).top
         .withColumn("rank", row_number().over(w))
         .select(col("rank"), col("id"),
           round(col("closeness"), 6).as("closeness"),
@@ -610,6 +654,29 @@ object EntryQueries {
     }),
 
     // ---- link prediction ------------------------------------------------
+    // PrecisionRecallMetric: one (recall, prec) point per distinct
+    // true-positive count over the score-desc-sorted CN predictions (zeros
+    // included), positives = the actual edges under the candidate cap
+    "lp_pr_curve" -> ((s, d) => {
+      val n100 = GraphOps.nodes(g1Simple(s, d)).where(col("id") < 100)
+      val cand = n100.select(col("id").as("a"))
+        .join(n100.select(col("id").as("b")), col("a") < col("b"))
+      val cn = LinkPrediction.commonNeighbors(s, g1Simple(s, d), maxNodeId = 100)
+      val preds = cand.join(cn, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("cn"), lit(0L)).cast("double").as("score"))
+      val pos = g1Simple(s, d).where(col("src") < 100 && col("dst") < 100)
+        .select(col("src").as("a"), col("dst").as("b"))
+      LinkPrediction.precisionRecallCurve(s, preds, pos)
+        .select(round(col("recall"), 6).as("recall"),
+          round(col("precision"), 6).as("prec"))
+        .orderBy("recall")
+    }),
+
+    "lp_neighborhood_utility" -> ((s, d) =>
+      LinkPrediction.neighborhoodUtility(s, g1Simple(s, d), maxNodeId = 60)
+        .select("a", "b", "common_cnt", "union_cnt").orderBy("a", "b")),
+
     "lp_common_neighbors" -> ((s, d) =>
       LinkPrediction.commonNeighbors(s, g1Simple(s, d), maxNodeId = 100)
         .orderBy("a", "b")),
@@ -1676,7 +1743,7 @@ ORDER BY src, dst""")
          |SELECT e.src, e.dst
          |FROM e_simple e LEFT JOIN cnt c ON e.src = c.src AND e.dst = c.dst
          |JOIN deg da ON e.src = da.id JOIN deg db ON e.dst = db.id
-         |WHERE coalesce(c.t, 0) * 1.0 / (da.degree + db.degree - coalesce(c.t, 0)) >= 0.2
+         |WHERE coalesce(c.t, 0) * 1.0 / (da.degree + db.degree - coalesce(c.t, 0)) >= 0.08
          |ORDER BY e.src, e.dst""".stripMargin,
 
     "q_modularity" ->
@@ -1761,6 +1828,43 @@ ORDER BY src, dst""")
          |mi AS (SELECT sum((c.n / tot.nn) * ln((c.n * tot.nn) / (ma.m * mb.m))) AS v
          |  FROM cont c JOIN ma USING (x) JOIN mb USING (y), tot)
          |SELECT round(1.0 - mi.v / greatest(ha.h, hb.h), 6) AS dyn_nmi_distance FROM mi, ha, hb""".stripMargin,
+
+    "lp_pr_curve" ->
+      s"""WITH $G1SQL,
+         |b AS (SELECT src AS node, dst AS nbr FROM e_sym WHERE src < 100),
+         |cn AS (SELECT x.node AS a, y.node AS b, count(*) AS c
+         |  FROM b x JOIN b y ON x.nbr = y.nbr AND x.node < y.node GROUP BY 1, 2),
+         |n100 AS (SELECT id FROM (SELECT src AS id FROM e_sym GROUP BY 1) WHERE id < 100),
+         |cand AS (SELECT a.id AS a, b.id AS b FROM n100 a JOIN n100 b ON a.id < b.id),
+         |preds AS (SELECT cand.a, cand.b, coalesce(cn.c, 0) * 1.0 AS score
+         |  FROM cand LEFT JOIN cn ON cand.a = cn.a AND cand.b = cn.b),
+         |pos AS (SELECT src AS a, dst AS b FROM e_simple WHERE src < 100 AND dst < 100),
+         |lab AS (SELECT p.a, p.b, p.score,
+         |  CASE WHEN x.a IS NULL THEN 0 ELSE 1 END AS pos
+         |  FROM preds p LEFT JOIN pos x ON p.a = x.a AND p.b = x.b),
+         |pref AS (SELECT
+         |  CAST(sum(pos) OVER (ORDER BY score DESC, a, b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |  CAST(row_number() OVER (ORDER BY score DESC, a, b) AS BIGINT) AS k
+         |  FROM lab),
+         |pp AS (SELECT tp, max(k) AS kmax FROM pref GROUP BY tp),
+         |ptot AS (SELECT CAST(sum(pos) AS BIGINT) AS p FROM lab)
+         |SELECT round(tp * 1.0 / (SELECT p FROM ptot), 6) AS recall,
+         |  round(tp * 1.0 / kmax, 6) AS prec
+         |FROM pp ORDER BY recall""".stripMargin,
+
+    "lp_neighborhood_utility" ->
+      s"""WITH $G1SQL,
+         |b AS (SELECT src AS node, dst AS nbr FROM e_sym WHERE src < 60),
+         |d60 AS (SELECT id, degree FROM deg WHERE id < 60),
+         |cn AS (SELECT x.node AS a, y.node AS b, count(*) AS c
+         |  FROM b x JOIN b y ON x.nbr = y.nbr AND x.node < y.node GROUP BY 1, 2)
+         |SELECT da.id AS a, db.id AS b,
+         |  CAST(coalesce(cn.c, 0) AS BIGINT) AS common_cnt,
+         |  CAST(da.degree + db.degree - coalesce(cn.c, 0) AS BIGINT) AS union_cnt
+         |FROM d60 da JOIN d60 db ON da.id < db.id
+         |LEFT JOIN cn ON cn.a = da.id AND cn.b = db.id
+         |ORDER BY a, b""".stripMargin,
 
     "lp_common_neighbors" ->
       s"""WITH $G1SQL,
@@ -2190,6 +2294,48 @@ ORDER BY src, dst""")
         |  FROM nodesd n LEFT JOIN pairs p ON p.u = n.id GROUP BY n.id)
         |SELECT id, CAST(dense_rank() OVER (ORDER BY mid) - 1 AS BIGINT) AS component
         |FROM grp ORDER BY id""".stripMargin,
+
+    // one-row composite profile on G2: each sub-expression is the already
+    // audited oracle for its operator (cc closure, scc mutual-reachability
+    // closure on the same %7-augmented directed view, tri_lcc wedge counts,
+    // assortativity corr), combined under one WITH RECURSIVE
+    "overview" ->
+      s"""WITH RECURSIVE $G2SQLM,
+         |ed0 AS (SELECT DISTINCT a AS u, b AS v FROM e0 WHERE a <> b),
+         |ed AS MATERIALIZED (SELECT u, v FROM ed0 UNION SELECT v AS u, u AS v FROM ed0 WHERE u % 7 = 0),
+         |reach(id, r) AS (SELECT id, id FROM nodes2
+         |  UNION SELECT reach.id, s.v FROM reach JOIN sym2 s ON s.u = reach.r),
+         |comp AS (SELECT id, min(r) AS cmin FROM reach GROUP BY id),
+         |csz AS (SELECT cmin, count(*) AS sz FROM comp GROUP BY 1),
+         |dreach(u, v) AS (SELECT u, v FROM ed
+         |  UNION SELECT r.u, e.v FROM dreach r JOIN ed e ON e.u = r.v),
+         |pairs AS (SELECT r1.u, r1.v FROM dreach r1 JOIN dreach r2 ON r1.u = r2.v AND r1.v = r2.u),
+         |grp AS (SELECT n.id, least(n.id, coalesce(min(p.v), n.id)) AS mid
+         |  FROM nodes2 n LEFT JOIN pairs p ON p.u = n.id GROUP BY n.id),
+         |deg2 AS MATERIALIZED (SELECT u AS id, count(*) AS degree FROM sym2 GROUP BY 1),
+         |tris AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM es e1
+         |  JOIN es e2 ON e1.v = e2.u
+         |  JOIN es e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |corners AS (SELECT x AS id FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris),
+         |tcnt AS (SELECT id, count(*) AS t FROM corners GROUP BY 1),
+         |lcc AS (SELECT d.id, CASE WHEN d.degree >= 2
+         |  THEN 2.0 * coalesce(t.t, 0) / (d.degree * (d.degree - 1)) ELSE 0.0 END AS l
+         |  FROM deg2 d LEFT JOIN tcnt t ON d.id = t.id),
+         |assr AS (SELECT corr(da.degree * 1.0, db.degree * 1.0) AS r
+         |  FROM sym2 e JOIN deg2 da ON e.u = da.id JOIN deg2 db ON e.v = db.id)
+         |SELECT
+         |  (SELECT count(*) FROM nodes2) AS n,
+         |  (SELECT count(*) FROM es) AS m,
+         |  round(2.0 * (SELECT count(*) FROM es) /
+         |    ((SELECT count(*) FROM nodes2) * ((SELECT count(*) FROM nodes2) - 1.0)), 6) AS density,
+         |  (SELECT min(degree) FROM deg2) AS deg_min,
+         |  (SELECT max(degree) FROM deg2) AS deg_max,
+         |  round((SELECT avg(degree * 1.0) FROM deg2), 6) AS deg_avg,
+         |  (SELECT count(*) FROM csz) AS components,
+         |  (SELECT max(sz) FROM csz) AS largest_component,
+         |  (SELECT count(DISTINCT mid) FROM grp) AS scc_count,
+         |  round((SELECT avg(l) FROM lcc), 6) AS lcc_avg,
+         |  round((SELECT r FROM assr), 6) AS assortativity""".stripMargin,
 
     "lp_pref_attachment" ->
       s"""WITH $G1SQL,

@@ -95,8 +95,8 @@ object SSSP {
     * exact path — at scale use a sampled source set).
     */
   def eccentricity(spark: SparkSession, edges: DataFrame,
-                   sources: DataFrame): DataFrame =
-    bfs(spark, edges, sources)
+                   sources: DataFrame, maxDepth: Int = 1000): DataFrame =
+    bfs(spark, edges, sources, maxDepth = maxDepth)
       .groupBy(col("source").as("id")).agg(max("dist").as("eccentricity"))
 
   /** APSP (`distance/APSP.cpp` surface): all-pairs hop distances — the

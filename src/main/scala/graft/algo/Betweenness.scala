@@ -155,9 +155,21 @@ object Betweenness {
     require(n >= 3, "RK approx betweenness needs at least 3 nodes")
 
     // ---- sample size from the vertex-diameter bound ---------------------
-    val pivot = nodes.orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(1).select(col("id").as("source"))
-    val ecc = sigmaBfs(adj, pivot, maxDepth).agg(max("dist")).head().getInt(0)
+    // VD is bounded per COMPONENT, as the reference's
+    // estimatedVertexDiameterPedantic does (`ApproxBetweenness.cpp`): one
+    // hash-min pivot per connected component, ONE batched sigma-BFS from
+    // all pivots, bound = max over pivots of 2·ecc+1. A single-pivot bound
+    // underestimates VD whenever the pivot misses the component with the
+    // longest shortest path — normal on disconnected crawls — silently
+    // shrinking r below the RK ε/δ guarantee.
+    val comps = ConnectedComponents.run(spark,
+      edges.where(col("src") =!= col("dst")).select("src", "dst")
+        .withColumn("weight", lit(1.0)))
+    val pivots = comps.groupBy("component")
+      .agg(min(struct(xxhash64(col("id"), lit(seed)).as("h"),
+        col("id").as("id"))).as("p"))
+      .select(col("p.id").as("source"))
+    val ecc = sigmaBfs(adj, pivots, maxDepth).agg(max("dist")).head().getInt(0)
     val vd = math.max(2 * ecc + 1, 3)
     val r = math.ceil(c / (eps * eps) *
       (math.floor(math.log(math.max(vd - 2, 1)) / math.log(2)) + 1 +

@@ -49,29 +49,41 @@ object Diameter {
       .persist(StorageLevel.MEMORY_AND_DISK)
     pivotDist.count()
 
-    val eccRows = pivotDist.groupBy("component")
-      .agg(max("dist").as("ecc")).collect() // one row per component: small
-    var lb = if (eccRows.isEmpty) 0L else eccRows.map(_.getLong(1)).max
-    // component -> upper bound 2*eccPivot
-    var ub = eccRows.map(r => r.getLong(0) -> 2L * r.getLong(1)).toMap
-    val pivotEcc = eccRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Per-component state stays DISTRIBUTED (a crawl has tens of millions
+    // of tiny components — a driver-side Map or an `isin` literal list
+    // would be GBs / a megabyte-wide plan). The invariant that makes this
+    // cheap: every bound update applies the SAME global cap 2·(iLow−1) to
+    // every then-active component, caps only shrink, and lb only grows —
+    // so ub(c) ≡ min(2·pivotEcc(c), cap) for one global scalar `cap`, and
+    // a component once inactive (ub ≤ lb) can never reactivate. Activity
+    // is therefore the predicate `min(2·ecc, cap) > lb` evaluated inside
+    // the plan; only single-row scalar aggregates ever reach the driver.
+    val eccDf = pivotDist.groupBy("component").agg(max("dist").as("ecc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lb = Option(eccDf.agg(max("ecc")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var cap = Long.MaxValue
+    def ubCol = least(col("ecc") * 2, lit(cap))
+    def activeComps = eccDf.where(ubCol > lb).select("component")
+    def maxUb: Long = Option(eccDf.agg(max(ubCol)).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    def maxActiveEcc: Long = Option(
+        eccDf.where(ubCol > lb).agg(max("ecc")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
 
     // Double sweep (the classic iFub warm start): BFS once more from each
     // still-active component's FARTHEST-from-pivot node (ties to min id).
     // Its eccentricity is usually the true diameter on power-law graphs, so
     // the level walk below starts with a tight lower bound and prunes after
     // a couple of fringe batches instead of a dozen.
-    {
-      val active = ub.filter(_._2 > lb).keys.toSeq
-      if (active.nonEmpty) {
-        val far = pivotDist.where(col("component").isin(active: _*))
-          .groupBy("component")
-          .agg(max(struct(col("dist"), (-col("id")).as("negid"))).as("f"))
-          .select((-col("f.negid")).as("id"))
-        val sweepEcc = SSSP.bfs(spark, sym.withColumn("weight", lit(1.0)), far)
-          .agg(max("dist")).head().getLong(0)
-        lb = math.max(lb, sweepEcc)
-      }
+    if (maxUb > lb) {
+      val far = pivotDist.join(activeComps, "component")
+        .groupBy("component")
+        .agg(max(struct(col("dist"), (-col("id")).as("negid"))).as("f"))
+        .select((-col("f.negid")).as("id"))
+      val sweepEcc = SSSP.bfs(spark, sym.withColumn("weight", lit(1.0)), far)
+        .agg(max("dist")).head().getLong(0)
+      lb = math.max(lb, sweepEcc)
     }
 
     // walk pivot-BFS levels top-down; batch consecutive small fringe levels
@@ -79,19 +91,19 @@ object Diameter {
     // overhead regardless of source count — batching amortizes it; the cap
     // keeps the (source,node) state of a batch bounded)
     val batchCap = 2048L
-    var i = math.min(lb,
-      ub.filter(_._2 > lb).keys.map(pivotEcc).foldLeft(0L)(math.max))
+    var i = math.min(lb, maxActiveEcc)
     var levels = 0
-    while (ub.values.exists(_ > lb) && i >= 1 && levels < maxLevels) {
-      val active = ub.filter(_._2 > lb).keys.toSeq
+    while (maxUb > lb && i >= 1 && levels < maxLevels) {
+      val active = activeComps
+        .transform(graft.core.Materialize.checkpoint) // pin for the batch
       val batch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var batchN = 0L
       var iLow = i
       var open = true
-      while (open && iLow >= 1 && ub.values.exists(_ > lb)) {
+      while (open && iLow >= 1) {
         levels += 1
         val f = pivotDist
-          .where(col("dist") === iLow && col("component").isin(active: _*))
+          .where(col("dist") === iLow).join(active, "component")
           .select("id")
         val n = f.count()
         if (batch.nonEmpty && batchN + n > batchCap) {
@@ -109,14 +121,12 @@ object Diameter {
         lb = math.max(lb, fringeEcc)
       }
       // every unexplored node of an active component sits at level < iLow,
-      // so its eccentricity is < 2*(iLow-1)+1 ⇒ new component bound
-      ub = ub.map { case (c, b) =>
-        c -> (if (b > lb) math.min(b, 2 * (iLow - 1)) else b)
-      }
+      // so its eccentricity is < 2*(iLow-1)+1 ⇒ new global cap
+      cap = math.min(cap, 2 * (iLow - 1))
       i = iLow - 1
     }
     sym.unpersist(); comps.unpersist(); pivots.unpersist()
-    pivotDist.unpersist()
+    pivotDist.unpersist(); eccDf.unpersist()
     lb
   }
 }

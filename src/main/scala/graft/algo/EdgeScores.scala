@@ -31,15 +31,21 @@ object EdgeScores {
     * each score by its rank-based quantile in (0,1]. Rank is computed with
     * the scalable two-phase scheme (range-partition + per-partition
     * row_number + broadcast offsets — `DenseId.assign`), NOT a single
-    * partition-less global window: ties then share the min row_number of
-    * their score group via a window partitioned by score (bounded groups).
+    * partition-less global window. Ties share the min row_number of their
+    * score group via a groupBy + equi-join — NOT a window partitioned by
+    * score: a constant-score input (exactly what a threshold-filter
+    * pipeline can produce) would put all m edges in that window's one
+    * task, while the groupBy combines map-side and the single-row
+    * min-rank table broadcasts.
     */
   def linearize(scores: DataFrame, scoreCol: String = "score"): DataFrame = {
     val n = scores.count().toDouble
     val rn = graft.core.DenseId.assign(scores, "_rn",
       Seq(scoreCol, "src", "dst"))
-    val tieRank = min(col("_rn")).over(Window.partitionBy(col(scoreCol))) + 1
-    rn.withColumn(scoreCol, tieRank.cast("double") / n).drop("_rn")
+    val minRank = rn.groupBy(scoreCol).agg(min("_rn").as("_minrn"))
+    rn.join(minRank, Seq(scoreCol))
+      .withColumn(scoreCol, (col("_minrn") + 1).cast("double") / n)
+      .select(scores.columns.map(col).toIndexedSeq: _*)
   }
 
   /** EdgeScoreBlender (`edgescores/EdgeScoreBlender.cpp`):

@@ -291,6 +291,70 @@ object LinkPrediction {
     hits.toDouble / k
   }
 
+  /** PrecisionRecallMetric (`linkprediction/PrecisionRecallMetric.cpp:12-33`):
+    * one (recall, precision) point per prefix of the score-descending
+    * sorted prediction list; consecutive points that share a recall keep
+    * only the LAST (largest-prefix) precision — the reference pops the
+    * previous precision when recall repeats. Since recall is monotone in
+    * the prefix length, "consecutive same recall" ≡ "same true-positive
+    * count", so the dedup is a groupBy on the integer `tp` (taking the max
+    * prefix length) — no floating-point group keys. Prefix TP counts use
+    * the same range-partitioned two-phase prefix sum as the ROC metric
+    * (`DenseId.prefixSum`), never a single-task global window.
+    */
+  def precisionRecallCurve(spark: SparkSession, predictions: DataFrame,
+                           positives: DataFrame): DataFrame = {
+    val labeled = predictions
+      .join(positives.select(col("a"), col("b"), lit(1).as("pos")),
+        Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("score"),
+        coalesce(col("pos"), lit(0)).as("pos"))
+      .withColumn("_ns", -col("score")) // prefix sums order ascending
+    val p = labeled.agg(sum("pos")).head().getLong(0)
+    require(p > 0, "PR curve undefined without positives")
+    // exclusive prefix sums over (score desc, a, b): TP and row index
+    val withTp = graft.core.DenseId.prefixSum(
+      labeled.withColumn("_one", lit(1)), "pos", "_tpx", Seq("_ns", "a", "b"))
+    val withK = graft.core.DenseId.prefixSum(
+      withTp, "_one", "_kx", Seq("_ns", "a", "b"))
+    withK
+      .select((col("_tpx") + col("pos")).cast("long").as("tp"),
+        (col("_kx") + 1).cast("long").as("k"))
+      .groupBy("tp").agg(max("k").as("kmax"))
+      .select(
+        (col("tp").cast("double") / p).as("recall"),
+        (col("tp").cast("double") / col("kmax")).as("precision"))
+  }
+
+  /** NeighborhoodUtility (`linkprediction/NeighborhoodUtility.cpp:22-44`
+    * getNeighborsUnion / getCommonNeighbors): per candidate pair, the
+    * SIZES of the neighbor-set union and intersection (the reference
+    * returns the materialized sorted lists — a per-pair array that a hub
+    * pair would blow up; the distributed surface keeps the counts, from
+    * which |union| = d(a)+d(b)−|∩| is exact set arithmetic).
+    */
+  def neighborhoodUtility(spark: SparkSession, edges: DataFrame,
+                          maxNodeId: Long): DataFrame = {
+    val sym = GraphOps.symmetrize(GraphOps.canonicalizeUnweighted(
+      edges.where(col("src") =!= col("dst")))).select("src", "dst")
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val cand = deg.where(col("id") < maxNodeId)
+    val pairs = cand.select(col("id").as("a"), col("deg").as("da"))
+      .join(cand.select(col("id").as("b"), col("deg").as("db")),
+        col("a") < col("b"))
+    val common = sym.where(col("src") < maxNodeId)
+      .select(col("src").as("a"), col("dst").as("w"))
+      .join(sym.where(col("src") < maxNodeId)
+        .select(col("src").as("b"), col("dst").as("w")), "w")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common_cnt"))
+    pairs.join(common, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("common_cnt"), lit(0L)).as("common_cnt"),
+        (col("da") + col("db") -
+          coalesce(col("common_cnt"), lit(0L))).as("union_cnt"))
+  }
+
   /** MissingLinksFinder (`linkprediction/MissingLinksFinder.cpp`): the k
     * highest-scored candidate pairs that are NOT existing edges — top-k via
     * sort-limit (TakeOrdered: per-partition top-k + driver merge of k rows,

@@ -52,6 +52,14 @@ object Matching {
         .transform(Materialize.checkpoint)
       m = live.count()
     }
+    // Maximality (and with it the ≥1/2-optimal weight guarantee) requires
+    // the live set to have emptied; a maxIter truncation on adversarial
+    // (e.g. weight-monotone path) inputs would silently drop it.
+    if (m > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"Matching.localMax stopped at maxIter=$maxIter with " +
+        s"$m live edges — result is a matching but may not be maximal; " +
+        "raise maxIter for the 1/2-optimality guarantee")
     matched
   }
 

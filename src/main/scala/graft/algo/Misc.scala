@@ -430,6 +430,137 @@ object Generators {
       }
     }.toDF("src", "dst", "weight")
   }
+
+  /** DorogovtsevMendesGenerator (`generators/DorogovtsevMendesGenerator
+    * .cpp:20-40`): seed triangle; each new node t picks one EXISTING edge
+    * (uniform in the reference; deterministic counter hash here) and
+    * connects to BOTH its endpoints — so m = 2n−3 and every new node closes
+    * a triangle. Edge indices are fully determined up front: edge j < 3 is
+    * the seed triangle; edge j ≥ 3 was created by node
+    * t = (j+3)/2 (j odd, copies the parent's FIRST endpoint) or
+    * t = (j+2)/2 (j even, copies the SECOND), with parent edge index
+    * p(t) = h(t) mod (2t−3) — the edges alive when t arrived. Endpoints
+    * resolve through the parent FOREST by a level-order DataFrame loop
+    * (parent indices strictly decrease; uniform parents give a
+    * random-recursive-tree profile, expected depth O(log n)) — no
+    * sequential driver loop, no driver-side edge list.
+    */
+  def dorogovtsevMendes(spark: SparkSession, n: Long,
+                        seed: Long = 42): DataFrame = {
+    require(n >= 3, "DorogovtsevMendes needs n >= 3")
+    import graft.core.Materialize
+    val m = 2 * n - 3
+    // (j, t, side, p) for j >= 3; side 0 copies parent.u, side 1 parent.v
+    val pending0 = spark.range(3L, m).select(
+      col("id").as("j"),
+      // `/` on longs is DOUBLE division in Spark — shiftright keeps it integral
+      when(col("id") % 2 === 1, shiftright(col("id") + 3, 1))
+        .otherwise(shiftright(col("id") + 2, 1)).as("t"),
+      when(col("id") % 2 === 1, lit(0)).otherwise(lit(1)).as("side"))
+      .withColumn("p",
+        pmod(xxhash64(col("t"), lit(seed)), col("t") * 2 - 3))
+    val seedTri = spark.range(3).select(col("id").as("j"),
+      when(col("id") === 0, lit(0L)).when(col("id") === 1, lit(1L))
+        .otherwise(lit(2L)).as("u"),
+      when(col("id") === 0, lit(1L)).when(col("id") === 1, lit(2L))
+        .otherwise(lit(0L)).as("v"))
+    var frontier = seedTri.transform(Materialize.checkpoint)
+    var resolved = frontier
+    var pending = pending0.transform(Materialize.checkpoint)
+    var left = pending.count()
+    while (left > 0) {
+      val hit = pending.join(
+        frontier.select(col("j").as("p"), col("u").as("pu"),
+          col("v").as("pv")), "p")
+      frontier = hit.select(col("j"), col("t").as("u"),
+        when(col("side") === 0, col("pu")).otherwise(col("pv")).as("v"))
+        .transform(Materialize.checkpoint)
+      resolved = resolved.unionByName(frontier)
+        .transform(Materialize.checkpoint)
+      pending = pending.join(frontier.select("j"), Seq("j"), "left_anti")
+        .transform(Materialize.checkpoint)
+      left = pending.count()
+    }
+    resolved.select(col("u").as("src"), col("v").as("dst"),
+      lit(1.0).as("weight"))
+  }
+
+  /** EdgeSwitchingMarkovChainGenerator (`generators/
+    * EdgeSwitchingMarkovChainGenerator.cpp:13-52`): degree-preserving
+    * rewiring — repeatedly pick two edges (a,b),(c,d) and swap endpoints,
+    * rejecting any switch that would create a self-loop or a duplicate
+    * edge. The reference runs 10·m sequential swaps after a HavelHakimi
+    * seed; the distributed chain batches them: each round hash-buckets the
+    * canonical edge list into m/2 pair slots, every slot holding exactly 2
+    * edges proposes one switch (orientation by a hash coin), and a proposal
+    * is accepted only if it creates no self-loop, no collision with any
+    * CURRENT edge (anti-join), and no collision with another accepted
+    * proposal (groupBy count on the proposed keys). Rejected slots keep
+    * their original edges, so every round preserves the degree sequence
+    * EXACTLY and keeps the graph simple — the Markov-chain invariants —
+    * while performing Θ(m) swap attempts per round in 3 shuffles.
+    */
+  def edgeSwitchingMarkovChain(spark: SparkSession, edges: DataFrame,
+                               rounds: Int = 10,
+                               seed: Long = 42): DataFrame = {
+    import graft.core.Materialize
+    var cur = GraphOps.canonicalizeUnweighted(
+        edges.where(col("src") =!= col("dst")))
+      .select("src", "dst").transform(Materialize.checkpoint)
+    val m = cur.count()
+    val buckets = math.max(1L, m / 2)
+    for (r <- 1 to rounds) {
+      val h = xxhash64(col("src"), col("dst"), lit(seed), lit(r))
+      val bucketed = cur.withColumn("_b", pmod(h, lit(buckets)))
+        .withColumn("_h", h)
+      val slots = bucketed.groupBy("_b").agg(
+        count(lit(1)).as("_c"),
+        min(struct(col("_h"), col("src"), col("dst"))).as("_e1"),
+        max(struct(col("_h"), col("src"), col("dst"))).as("_e2"))
+      val prop = slots.where(col("_c") === 2 && col("_e1._h") =!= col("_e2._h"))
+        .select(col("_b"),
+          col("_e1.src").as("a1"), col("_e1.dst").as("b1"),
+          col("_e2.src").as("a2"), col("_e2.dst").as("b2"),
+          // parity of each hash first — adding two raw xxhash64 values
+          // overflows Long under ANSI mode
+          pmod(pmod(col("_e1._h"), lit(2L)) + pmod(col("_e2._h"), lit(2L)),
+            lit(2L)).as("coin"))
+        // proposed replacement edges, canonicalized
+        .withColumn("n1u", when(col("coin") === 0, least(col("a1"), col("b2")))
+          .otherwise(least(col("a1"), col("a2"))))
+        .withColumn("n1v", when(col("coin") === 0, greatest(col("a1"), col("b2")))
+          .otherwise(greatest(col("a1"), col("a2"))))
+        .withColumn("n2u", when(col("coin") === 0, least(col("a2"), col("b1")))
+          .otherwise(least(col("b1"), col("b2"))))
+        .withColumn("n2v", when(col("coin") === 0, greatest(col("a2"), col("b1")))
+          .otherwise(greatest(col("b1"), col("b2"))))
+        // structural rejects: self-loops, the two new edges colliding
+        .where(col("n1u") =!= col("n1v") && col("n2u") =!= col("n2v") &&
+          !(col("n1u") === col("n2u") && col("n1v") === col("n2v")))
+      val newKeys = prop.select(col("_b"), col("n1u").as("src"), col("n1v").as("dst"))
+        .unionByName(prop.select(col("_b"), col("n2u").as("src"), col("n2v").as("dst")))
+      // reject proposals whose new edge already exists, or that collide
+      // with another proposal's new edge
+      val existing = newKeys.join(cur, Seq("src", "dst"), "left_semi")
+        .select("_b")
+      val dup = newKeys.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .where(col("c") > 1)
+      val dupB = newKeys.join(dup.select("src", "dst"), Seq("src", "dst"),
+        "left_semi").select("_b")
+      val rejected = existing.unionByName(dupB).distinct()
+      val accepted = prop.join(rejected, Seq("_b"), "left_anti")
+        .transform(Materialize.checkpoint)
+      val acceptedNew = accepted
+        .select(col("n1u").as("src"), col("n1v").as("dst"))
+        .unionByName(accepted.select(col("n2u").as("src"), col("n2v").as("dst")))
+      val untouched = bucketed
+        .join(accepted.select("_b"), Seq("_b"), "left_anti")
+        .select("src", "dst")
+      cur = untouched.unionByName(acceptedNew)
+        .transform(Materialize.checkpoint)
+    }
+    cur.withColumn("weight", lit(1.0))
+  }
 }
 
 /** Synthetic partitions (`community/ClusteringGenerator.cpp`): singleton,

@@ -37,10 +37,12 @@ object PageRank {
       tol: Double = 1e-9,
       maxIter: Int = 500,
       checkpointDir: Option[String] = None,
-      shufflePartitions: Int = 0)
+      shufflePartitions: Int = 0,
+      checkpointEvery: Int = 5)
 
   final case class Result(scores: DataFrame, iterations: Int,
-                          history: Vector[graft.iterate.IterRecord])
+                          history: Vector[graft.iterate.IterRecord],
+                          resumedFrom: Int = 0)
 
   /** @param edges directed edge table `(src, dst, weight)`; symmetrize first
     *              for undirected semantics.
@@ -114,7 +116,7 @@ object PageRank {
         .head().getDouble(0))
 
     val res: IterResult = IterationDriver.run(spark, init, step, l2diff,
-      IterConfig(cfg.tol, cfg.maxIter, cfg.checkpointDir))
+      IterConfig(cfg.tol, cfg.maxIter, cfg.checkpointDir, cfg.checkpointEvery))
 
     val l1 = res.state.agg(sum(abs(col("score")))).head().getDouble(0)
     val scores = res.state.select(col("id"), (col("score") / l1).as("score"))
@@ -124,6 +126,6 @@ object PageRank {
     shares.unpersist(blocking = false)
     nodesP.unpersist(blocking = false)
     graft.core.Materialize.free(res.state)
-    Result(scores, res.iterations, res.history)
+    Result(scores, res.iterations, res.history, res.resumedFrom)
   }
 }

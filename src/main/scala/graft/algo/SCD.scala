@@ -149,17 +149,26 @@ object SCD {
     * operator; the graph itself never leaves the cluster.
     */
   def gce(spark: SparkSession, edges: DataFrame, seed: Long,
-          maxSize: Int = 10000): DataFrame = {
+          maxSize: Int = 10000, maxFetch: Int = 200000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val sym = GraphOps.symmetrize(GraphOps.canonicalizeUnweighted(
       edges.where(col("src") =!= col("dst")))).select("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // fetch one node's neighbor list (narrow filter; a hub's list is the
-    // natural upper bound — same locality the reference's forNeighborsOf has)
-    def nbrs(v: Long): Set[Long] =
-      sym.where(col("src") === v).select("dst").collect()
-        .map(_.getLong(0)).toSet
+    // natural upper bound — same locality the reference's forNeighborsOf
+    // has). `maxFetch` guards the driver: touching a hub whose adjacency
+    // would not fit control-plane memory fails loudly instead of OOMing —
+    // the limit(maxFetch+1) means the job itself never moves more rows.
+    def nbrs(v: Long): Set[Long] = {
+      val rows = sym.where(col("src") === v).select("dst")
+        .limit(maxFetch + 1).collect()
+      require(rows.length <= maxFetch,
+        s"GCE: node $v has degree > maxFetch=$maxFetch; GCE is a " +
+          "control-plane operator — raise maxFetch only with driver memory " +
+          "to match, or choose a non-hub seed")
+      rows.map(_.getLong(0)).toSet
+    }
 
     val community = scala.collection.mutable.Set(seed)
     val adj = scala.collection.mutable.Map(seed -> nbrs(seed))

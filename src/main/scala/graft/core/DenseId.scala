@@ -46,6 +46,11 @@ object DenseId {
       .join(broadcast(offsets), Seq("_pid"))
       .withColumn(idCol, row_number().over(w).cast("long") - 1 + col("_offset"))
       .drop("_pid", "_offset")
+      // materialize eagerly so the `parted` cache (needed only so the
+      // offset pass and this pass see one sampling of the range bounds)
+      // can be released here instead of leaking one cached RDD per call
+      .transform(Materialize.checkpoint)
+    parted.unpersist(blocking = false)
     out
   }
 
@@ -70,11 +75,14 @@ object DenseId {
       .select("_pid", "_offset")
     val w = Window.partitionBy("_pid").orderBy(cols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    parted
+    val out = parted
       .join(broadcast(offsets), Seq("_pid"))
       .withColumn(outCol,
         coalesce(sum(col(valueCol)).over(w).cast("double"), lit(0.0))
           + col("_offset"))
       .drop("_pid", "_offset")
+      .transform(Materialize.checkpoint) // same lifecycle as assign()
+    parted.unpersist(blocking = false)
+    out
   }
 }

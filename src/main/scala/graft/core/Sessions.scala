@@ -37,6 +37,12 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // The IterationDriver intentionally unpersists superseded localCheckpoint
+    // generations; each emits a scary-but-expected WARN from
+    // MapPartitionsRDD that would otherwise dominate bench/verify logs.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     tune(s)
   }
 }

@@ -21,6 +21,17 @@ final case class IterConfig(
     /** disk-checkpoint every k iterations (and at convergence) */
     checkpointEvery: Int = 5)
 
+object IterConfig {
+  /** Production-tier preset (SURVEY.md §7.1): EVERY iteration snapshotted
+    * to durable storage, so a killed run loses at most the in-flight
+    * iteration. On a real cluster `dir` is an object-store/Iceberg path;
+    * the per-iteration parquet write is one extra scan of the state table —
+    * cheap relative to a multi-hour loop's re-run risk at 10^12-edge scale.
+    */
+  def production(tol: Double, maxIter: Int, dir: String): IterConfig =
+    IterConfig(tol, maxIter, checkpointDir = Some(dir), checkpointEvery = 1)
+}
+
 final case class IterResult(state: DataFrame, iterations: Int,
                             history: Vector[IterRecord], resumedFrom: Int)
 

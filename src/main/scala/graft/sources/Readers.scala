@@ -124,6 +124,12 @@ object Readers {
     * Returns (edges `(src, dst, weight)`, directed flag).
     */
   def gml(spark: SparkSession, path: String): (DataFrame, Boolean) = {
+    val (edges, _, directed) = gmlParse(spark, path)
+    (edges, directed)
+  }
+
+  private def gmlParse(spark: SparkSession,
+                       path: String): (DataFrame, Long, Boolean) = {
     import spark.implicits._
     val lines = scala.io.Source.fromFile(path).getLines().map(_.trim).toVector
     val directed = lines.exists(l => l.matches("directed\\s+1"))
@@ -150,24 +156,22 @@ object Readers {
         }
       }
     }
-    (edges.toSeq.toDF("src", "dst", "weight"), directed)
+    (edges.toSeq.toDF("src", "dst", "weight"), nodeMap.size.toLong, directed)
   }
 
   /** GML with the DECLARED node set (`io/GMLGraphReader.cpp` keeps isolated
     * nodes — `jazz2_undirected.gml` declares 5 nodes but only 3 appear in
-    * edges; `GraphOps.nodes` cannot recover the isolated two).
-    * Returns (edges, nodes, directed).
+    * edges; `GraphOps.nodes` cannot recover the isolated two). The node
+    * count comes from the same mode-based parse as the edges (NOT a
+    * line-pair scan: valid GML may put other attributes before a node's
+    * `id`, which only the stateful parse counts consistently with the edge
+    * endpoint remap). Returns (edges, nodes, directed).
     */
   def gmlWithNodes(spark: SparkSession,
                    path: String): (DataFrame, DataFrame, Boolean) = {
     import spark.implicits._
-    val (edges, directed) = gml(spark, path)
-    val nodeIds = scala.io.Source.fromFile(path).getLines().map(_.trim)
-      .toVector.sliding(2).collect {
-        case Vector(a, b) if a.startsWith("node") && b.startsWith("id ") =>
-          b.split("\\s+", 2)(1)
-      }.toVector.distinct.zipWithIndex.map { case (_, i) => i.toLong }
-    (edges, nodeIds.toDF("id"), directed)
+    val (edges, nodeCount, directed) = gmlParse(spark, path)
+    ((edges, (0L until nodeCount).toDF("id"), directed))
   }
 
   /** MatrixMarket reader (`io/MatrixMarketReader.cpp`): `%%MatrixMarket

@@ -28,6 +28,7 @@ class PlanGuardSpec extends SparkTestBase {
     "lp_neighborhood_dist", "lp_same_community", "lp_katz",
     "lp_resource_alloc", "lp_degrees",
     "lp_roc",       // candidate set is the bounded lp pair universe
+    "lp_neighborhood_utility", // bounded id<60 candidate pair universe
     "g_stats", "tri_gcc" // 1×1 cross combining single-row scalar aggregates
   )
 

@@ -21,6 +21,21 @@ class Round3Spec extends SparkTestBase {
     assert(Diameter.exact(spark, edges) == 4L)
   }
 
+  test("iFub diameter: 10^5 components, per-component state never collected") {
+    val s = spark
+    import s.implicits._
+    // 100k disjoint single-edge components (diameter 1 each) + one path of
+    // 10 nodes (diameter 9). The per-component bound state is 100k+1 rows —
+    // a driver-side Map or isin-literal formulation would blow up here; the
+    // DataFrame formulation only ever moves scalar aggregates to the driver.
+    val pairs = spark.range(100000L)
+      .select((col("id") * 2).as("src"), (col("id") * 2 + 1).as("dst"),
+        lit(1.0).as("weight"))
+    val path = edgeDF(undirected(
+      (0 until 9).map(i => (1000000L + i, 1000000L + i + 1)): _*))
+    assert(Diameter.exact(spark, pairs.unionByName(path)) == 9L)
+  }
+
   test("iFub diameter agrees with the all-sources eccentricity scan") {
     val s = spark
     import s.implicits._
@@ -31,6 +46,87 @@ class Round3Spec extends SparkTestBase {
     val viaScan = SSSP.eccentricity(spark, edges, GraphOps.nodes(edges))
       .agg(max("eccentricity")).head().getLong(0)
     assert(Diameter.exact(spark, edges) == viaScan)
+  }
+
+  // ------------------------------------------------------------ gce guard
+  test("GCE: hub seed beyond maxFetch fails loudly instead of OOMing") {
+    val s = spark
+    import s.implicits._
+    val star = spark.range(1, 201)
+      .select(lit(0L).as("src"), col("id").as("dst"), lit(1.0).as("weight"))
+    val e = intercept[IllegalArgumentException] {
+      SCD.gce(spark, star, seed = 0L, maxFetch = 50)
+    }
+    assert(e.getMessage.contains("maxFetch"))
+  }
+
+  // ------------------------------------------------------- linearize
+  test("linearize: constant-score input has no per-score-group window") {
+    val s = spark
+    import s.implicits._
+    // all-equal scores — the degenerate input a threshold-filter pipeline
+    // produces; a score-partitioned window would put all rows in one task
+    val scores = spark.range(500).select(col("id").as("src"),
+      (col("id") + 1000).as("dst"), lit(0.5).as("score"))
+    val out = EdgeScores.linearize(scores)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: walk(a.inputPlan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val wins = walk(out.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty &&
+          !w.child.output.exists(a => a.name == "_pid" || a.name == "_cnt") => w
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.nonEmpty => w // any per-score-group window
+    }
+    assert(wins.isEmpty, s"linearize window found:\n${wins.headOption}")
+    val vals = out.select("score").distinct().collect().map(_.getDouble(0))
+    assert(vals.toSeq == Seq(1.0 / 500)) // all tied at min rank 0 → 1/n
+  }
+
+  test("linearize: tie groups share the min rank, order preserved") {
+    val scores = edgeDF(Seq((1L, 2L, 5.0), (2L, 3L, 5.0), (3L, 4L, 1.0),
+      (4L, 5L, 9.0))).withColumnRenamed("weight", "score")
+    val out = EdgeScores.linearize(scores).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // ranks by (score,src,dst): (3,4)=0 → .25; (1,2)=1,(2,3)=1 (tie min) →
+    // .5; (4,5)=3 → 1.0
+    assert(out((3L, 4L)) == 0.25)
+    assert(out((1L, 2L)) == 0.5 && out((2L, 3L)) == 0.5)
+    assert(out((4L, 5L)) == 1.0)
+  }
+
+  // --------------------------------------------------- top-k closeness
+  test("TopCloseness: pruned search expands far fewer sources than n") {
+    val s = spark
+    import s.implicits._
+    // two-level tree: root(0) — 10 mids — 200 leaves each (n = 2011).
+    // Mids carry the best degree bound, the root has the best closeness,
+    // and every leaf's bound falls below it after the first batch.
+    val mids = (1L to 10L).map(m => (0L, m, 1.0))
+    val leaves = for { m <- 1L to 10L; l <- 0L until 200L }
+      yield (m, 100 + m * 200 + l, 1.0)
+    val edges = edgeDF(mids ++ leaves)
+    val r = TopCloseness.run(spark, edges, k = 1, batchSize = 16)
+    assert(r.candidates == 2011L)
+    assert(r.sourcesExpanded <= 32L,
+      s"expanded ${r.sourcesExpanded} of ${r.candidates}")
+    assert(r.top.select("id").head().getLong(0) == 0L)
+  }
+
+  test("TopCloseness: agrees with the all-sources scan (ties included)") {
+    val edges = edgeDF((0 until 60).map { i =>
+      (i.toLong % 19, (i.toLong * 11 + 5) % 19, 1.0)
+    }.filter(e => e._1 != e._2))
+    val naive = Closeness.forSources(spark, edges, GraphOps.nodes(edges))
+      .orderBy(desc("closeness"), asc("id")).limit(5)
+      .select("id", "closeness").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val pruned = TopCloseness.run(spark, edges, k = 5, batchSize = 4).top
+      .select("id", "closeness").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pruned.toSeq == naive.toSeq)
   }
 
   // -------------------------------------------------- algebraic distance
@@ -344,6 +440,134 @@ class Round3Spec extends SparkTestBase {
       .toDF("id", "label")
     val d = graft.quality.Metrics.dynamicNmiDistance(spark, before, after)
     assert(math.abs(d) < 1e-9)
+  }
+
+  // ------------------------------------------------- DorogovtsevMendes
+  test("DorogovtsevMendes: exact match with a sequential replay, m = 2n-3") {
+    val n = 60L
+    val got = Generators.dorogovtsevMendes(spark, n, seed = 42)
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // replay the SAME deterministic parent draws sequentially (the hash is
+    // read back from Spark so both sides share one schedule)
+    val ps = spark.range(3L, n)
+      .select(col("id"), pmod(xxhash64(col("id"), lit(42L)), col("id") * 2 - 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = scala.collection.mutable.ArrayBuffer((0L, 1L), (1L, 2L), (2L, 0L))
+    for (t <- 3L until n) {
+      val (u, v) = es(ps(t).toInt)
+      es += ((t, u)); es += ((t, v))
+    }
+    val want = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(got.size == 2 * n - 3)
+    assert(got == want)
+  }
+
+  test("DorogovtsevMendes: every new node closes a triangle") {
+    val n = 80L
+    val e = Generators.dorogovtsevMendes(spark, n, seed = 7)
+    val canon = e.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"))
+    val set = canon.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // node t's two creation edges are (t, x), (t, y) with (x, y) an edge
+    for (t <- 3L until n) {
+      val partners = set.toSeq.collect {
+        case (u, v) if v == t => u
+        case (u, v) if u == t && v < t => v
+      }.filter(_ < t)
+      // at least one pair of sub-t partners is adjacent (the parent edge)
+      assert(partners.combinations(2).exists { case Seq(a, b) =>
+        set.contains((math.min(a, b), math.max(a, b)))
+      }, s"node $t closes no triangle")
+    }
+  }
+
+  // ---------------------------------------------- EdgeSwitchingMarkovChain
+  test("ESMC: degree sequence preserved exactly, graph stays simple, chain moves") {
+    val s = spark
+    import s.implicits._
+    // ring of 100 + deterministic chords (simple, connected, mixed degrees)
+    val ring = (0L until 100L).map(i => (i, (i + 1) % 100))
+    val chords = (0L until 50L).map(i => (i, (i * i + 7) % 100)).filter(p => p._1 != p._2)
+    val base = edgeDF(undirected((ring ++ chords).distinct: _*))
+    val canon = GraphOps.canonicalizeUnweighted(base)
+    def degSeq(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      GraphOps.degrees(GraphOps.symmetrize(
+          GraphOps.canonicalizeUnweighted(df)))
+        .orderBy("id").collect().map(r => r.getLong(1)).toSeq
+    val before = degSeq(canon)
+    val out = Generators.edgeSwitchingMarkovChain(spark, canon, rounds = 5, seed = 42)
+    val after = degSeq(out)
+    assert(after == before) // EXACT per-node degree preservation
+    val pairs = out.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (u, v) => u < v })   // canonical, no loops
+    assert(pairs.distinct.length == pairs.length)    // simple
+    assert(pairs.length.toLong == canon.count())     // |E| preserved
+    val origSet = canon.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.exists(p => !origSet.contains(p)), "chain never moved")
+    // determinism
+    val again = Generators.edgeSwitchingMarkovChain(spark, canon, rounds = 5, seed = 42)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pairs.toSet)
+  }
+
+  // ---------------------------------------------------- PR curve + utility
+  test("precisionRecallCurve matches a hand computation") {
+    val s = spark
+    import s.implicits._
+    // 4 predictions sorted by score desc: labels 1, 0, 1, 1 → P = 3
+    val preds = Seq((0L, 1L, 4.0), (0L, 2L, 3.0), (0L, 3L, 2.0), (0L, 4L, 1.0))
+      .toDF("a", "b", "score")
+    val pos = Seq((0L, 1L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val got = graft.algo.LinkPrediction.precisionRecallCurve(spark, preds, pos)
+      .orderBy("recall").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    // prefixes: (tp=1,k=1) (tp=1,k=2) (tp=2,k=3) (tp=3,k=4); recall dedup
+    // keeps max-k per tp: (1/3, 1/2), (2/3, 2/3), (1, 3/4)
+    assert(got.length == 3)
+    assert(math.abs(got(0)._1 - 1.0 / 3) < 1e-9 && math.abs(got(0)._2 - 0.5) < 1e-9)
+    assert(math.abs(got(1)._1 - 2.0 / 3) < 1e-9 && math.abs(got(1)._2 - 2.0 / 3) < 1e-9)
+    assert(math.abs(got(2)._1 - 1.0) < 1e-9 && math.abs(got(2)._2 - 0.75) < 1e-9)
+  }
+
+  test("neighborhoodUtility: union/intersection sizes are set-exact") {
+    // triangle 0-1-2 plus 1-3: N(0)={1,2} N(1)={0,2,3}
+    val e = edgeDF(undirected((0L, 1L), (1L, 2L), (0L, 2L), (1L, 3L)))
+    val r = graft.algo.LinkPrediction.neighborhoodUtility(spark, e, maxNodeId = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    assert(r((0L, 1L)) == ((1L, 4L))) // common {2}, union {0,1,2,3}
+    assert(r((0L, 2L)) == ((1L, 3L))) // common {1}, union {0,1,2}
+    assert(r((2L, 3L)) == ((1L, 2L))) // common {1}, union {0,1}
+  }
+
+  // ------------------------------------------- production checkpoint preset
+  test("IterConfig.production: every iteration durable, kill-anywhere resume") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("prodck").toString
+    val edges = edgeDF(Seq((1L, 0L, 1.0), (2L, 0L, 2.0), (3L, 0L, 1.0),
+      (0L, 1L, 1.0), (3L, 2L, 1.0)))
+    val nodes = (0L to 3L).toDF("id")
+    // "killed" after 5 iterations
+    val partial = PageRank.run(spark, edges, nodes,
+      PageRank.Config(tol = 1e-12, maxIter = 5,
+        checkpointDir = Some(tmp), checkpointEvery = 1, shufflePartitions = 4))
+    assert(partial.iterations == 5)
+    val hist = graft.iterate.IterationDriver.readManifest(tmp)
+    // checkpointEvery=1 ⇒ EVERY completed iteration has a durable snapshot
+    assert(hist.length == 5 && hist.forall(_.snapshot.nonEmpty))
+    // resume starts from exactly iteration 5, no lost work
+    val resumed = PageRank.run(spark, edges, nodes,
+      PageRank.Config(tol = 1e-12, checkpointDir = Some(tmp),
+        checkpointEvery = 1, shufflePartitions = 4))
+    assert(resumed.resumedFrom == 5)
+    val clean = PageRank.run(spark, edges, nodes, PageRank.Config(tol = 1e-12))
+    val a = resumed.scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = clean.scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a.foreach { case (id, v) => assert(math.abs(v - b(id)) < 1e-9) }
   }
 
   // ------------------------------------------------------------ edge ids
