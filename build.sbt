@@ -29,6 +29,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Bench/ScalingBench create ~20 fresh SparkSessions per JVM; each
+  // session's whole-stage-codegen classes stay in the code cache, and once
+  // the default 240 MB fills, the JIT stops compiling — measured as a
+  // monotone 10-25% per-rep slowdown across ScalingBench reps. 1g removes
+  // the cliff for every forked runMain (incl. the driver's bench run).
+  "-XX:ReservedCodeCacheSize=1g",
   // 24g on the 128 GiB box: at 8g a local[32] PageRank over ~10M edges is
   // GC-bound (32 task threads × shuffle buffers + MEMORY_AND_DISK caches
   // churn the old gen); measured headroom removes that stall class.

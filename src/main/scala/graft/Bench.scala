@@ -60,17 +60,30 @@ object Bench {
     var m = 0L
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // Build + persist the seed-42 bench graph in a given session (setup is
+    // Build + persist a seed-42 bench graph in a given session (setup is
     // never part of a measured interval).
-    def graph(spark: SparkSession): (DataFrame, DataFrame) = {
-      val edges = PageGen.edges(spark, benchNodes, seed = 42,
+    def graphN(spark: SparkSession, n: Long): (DataFrame, DataFrame) = {
+      val edges = PageGen.edges(spark, n, seed = 42,
           numPartitions = cpus.toInt * 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      m = edges.count()
+      edges.count()
       val nodes = GraphOps.nodes(edges)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       nodes.count()
       (edges, nodes)
+    }
+    def graph(spark: SparkSession): (DataFrame, DataFrame) = {
+      val (edges, nodes) = graphN(spark, benchNodes)
+      m = edges.count()
+      (edges, nodes)
+    }
+
+    // Free iterative jobs' leftover localCheckpoint state + DataFrame caches
+    // (warmup runs leave both pinned in the block manager otherwise).
+    def freeState(spark: SparkSession): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .filter(org.apache.spark.rdd.graftshim.RddIntrospect.isLocallyCheckpointed)
+        .foreach(_.unpersist(blocking = false))
     }
 
     // HEADLINE (north rule): PageRank edges/s/iteration at tol 1e-6.
@@ -84,9 +97,7 @@ object Bench {
           PageRank.run(spark, edges, nodes,
             PageRank.Config(tol = 1e-6, maxIter = 4))
             .scores.agg(sum("score")).head()
-          spark.sparkContext.getPersistentRDDs.values
-            .filter(org.apache.spark.rdd.graftshim.RddIntrospect.isLocallyCheckpointed)
-            .foreach(_.unpersist(blocking = false))
+          freeState(spark)
           time {
             val r = PageRank.run(spark, edges, nodes,
               PageRank.Config(tol = 1e-6, maxIter = 100))
@@ -126,6 +137,13 @@ object Bench {
     )
     for ((name, job) <- graphJobs if wanted(name)) {
       results(name) = withSession(cpus) { spark =>
+        // Discarded JIT/codegen warmup: the SAME job on a 1/10-size graph
+        // (fresh sessions otherwise pay cold-JIT inside the measured
+        // interval — measured 10-40% on the loop-heavy jobs).
+        val (we, wn) = graphN(spark, math.max(benchNodes / 10, 100000L))
+        job(spark, we, wn)
+        freeState(spark)
+        we.unpersist(blocking = false); wn.unpersist(blocking = false)
         val (edges, nodes) = graph(spark)
         time { job(spark, edges, nodes) }
       }
@@ -148,6 +166,8 @@ object Bench {
         "emb_neardup_lsh", "txt_quality", "events_sessions", "cc_components",
         "matching", "seir") if wanted(q)) {
       results(q) = withSession(cpus) { spark =>
+        EntryQueries.queries(q)(spark, sfDir).count() // discarded warmup
+        freeState(spark)
         time { EntryQueries.queries(q)(spark, sfDir).count() }
       }
     }

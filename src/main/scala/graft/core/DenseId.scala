@@ -29,12 +29,20 @@ object DenseId {
   def assign(df: DataFrame, idCol: String, sortCols: Seq[String],
              numPartitions: Int = 0): DataFrame = {
     val cols: Seq[Column] = sortCols.map(col)
+    // The pid→count pass and the final pass MUST see one materialization of
+    // the range partitioning: `spark_partition_id()` is only meaningful
+    // relative to a concrete partitioning, and RangePartitioner's sample
+    // (hence the partition boundaries) is seeded by the physical RDD id, so
+    // two independent materializations can disagree — the `_pid` inner join
+    // would then silently drop rows. A lazy `.persist()` is NOT enough: a
+    // cache miss on plan-canonicalization differences (e.g. a session conf
+    // change between the passes) or eviction-with-replanning re-samples.
+    // Eager localCheckpoint pins the data AND freezes `_pid` in one shot.
     val parted =
       (if (numPartitions > 0) df.repartitionByRange(numPartitions, cols: _*)
        else df.repartitionByRange(cols: _*))
         .withColumn("_pid", spark_partition_id())
-    // cache so the pid→count pass and the final pass see identical sampling
-    parted.persist()
+        .transform(Materialize.checkpoint)
     val offsets = parted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
       .withColumn("_offset",
         coalesce(sum("_cnt").over(
@@ -46,11 +54,10 @@ object DenseId {
       .join(broadcast(offsets), Seq("_pid"))
       .withColumn(idCol, row_number().over(w).cast("long") - 1 + col("_offset"))
       .drop("_pid", "_offset")
-      // materialize eagerly so the `parted` cache (needed only so the
-      // offset pass and this pass see one sampling of the range bounds)
-      // can be released here instead of leaking one cached RDD per call
+      // materialize eagerly so `parted`'s pinned blocks can be released
+      // here instead of leaking one cached RDD per call
       .transform(Materialize.checkpoint)
-    parted.unpersist(blocking = false)
+    Materialize.free(parted)
     out
   }
 
@@ -63,9 +70,11 @@ object DenseId {
   def prefixSum(df: DataFrame, valueCol: String, outCol: String,
                 sortCols: Seq[String]): DataFrame = {
     val cols: Seq[Column] = sortCols.map(col)
+    // eager localCheckpoint for the same two-pass `_pid` consistency
+    // reason as assign() — see the comment there
     val parted = df.repartitionByRange(cols: _*)
       .withColumn("_pid", spark_partition_id())
-    parted.persist()
+      .transform(Materialize.checkpoint)
     val offsets = parted.groupBy("_pid")
       .agg(sum(col(valueCol)).cast("double").as("_sum"))
       .withColumn("_offset",
@@ -82,7 +91,7 @@ object DenseId {
           + col("_offset"))
       .drop("_pid", "_offset")
       .transform(Materialize.checkpoint) // same lifecycle as assign()
-    parted.unpersist(blocking = false)
+    Materialize.free(parted)
     out
   }
 }

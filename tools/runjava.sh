@@ -5,6 +5,7 @@ OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-24g} ${GRAFT_JVM_EXTRA:-} \
+exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-24g} \
+  -XX:ReservedCodeCacheSize=${GRAFT_CODE_CACHE:-1g} ${GRAFT_JVM_EXTRA:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$CLASS" "$@"
