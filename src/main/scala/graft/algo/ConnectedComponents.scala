@@ -45,10 +45,15 @@ object ConnectedComponents {
     def step(state: DataFrame, iter: Int): DataFrame = {
       val frontier = state.where(col("changed"))
         .select(col("id").as("src"), col("label"))
-      val proposals = sym.join(frontier, "src")
+      // node-sized sides hinted shuffle-hash: avoids a per-sweep re-sort of
+      // the cached edge table under sort-merge join (same rationale as
+      // PageRank.step; the build side's per-partition slice is
+      // node-state-sized and fits by the partitioning contract)
+      val proposals = sym.join(frontier.hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("prop"))
-      state.select("id", "label").join(proposals, Seq("id"), "left")
+      state.select("id", "label")
+        .join(proposals.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("prop"), col("label"))).as("label"),
           (col("prop").isNotNull && col("prop") < col("label")).as("changed"))

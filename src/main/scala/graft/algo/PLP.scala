@@ -90,18 +90,23 @@ object PLP {
       // at minimum half the edges, and a shrinking fraction as the active
       // set drains (previously the full join ran first and the semi-join
       // discarded most of it afterwards).
+      // node-sized sides are hinted shuffle-hash (build side): the m-row
+      // edge side is already partitioned/filtered, and a sort-merge join
+      // would re-sort it every sweep; the build side's per-partition slice
+      // is node-state-sized and fits by the partitioning contract
       val nbr = sym
         .where(pmod(col("dst"), lit(2)) === parity)
-        .join(updateSet.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .join(updateSet.select(col("id").as("dst")).hint("shuffle_hash"),
+          Seq("dst"), "left_semi")
         .join(labelsOnly.withColumnRenamed("id", "src")
-          .withColumnRenamed("label", "nlabel"), "src")
+          .withColumnRenamed("label", "nlabel").hint("shuffle_hash"), "src")
       val winners = nbr
         .groupBy(col("dst"), col("nlabel"))
         .agg(sum("weight").as("w"))
         .groupBy(col("dst").as("id"))
         .agg(max_by(col("nlabel"),
           struct(col("w"), (-col("nlabel")).as("nl"))).as("winner"))
-      val updated = state.join(winners, Seq("id"), "left")
+      val updated = state.join(winners.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), col("active"),
           when(col("winner").isNotNull, col("winner"))
             .otherwise(col("label")).as("label"),
@@ -118,7 +123,8 @@ object PLP {
       // because every changed node carries this sweep's parity
       val nbrOfChanged = sym
         .where(pmod(col("dst"), lit(2)) === parity)
-        .join(changedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .join(changedIds.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+          Seq("dst"), "left_semi")
         .select(col("src").as("id")).distinct()
       val activeNext = changedIds.unionByName(nbrOfChanged).distinct()
         .withColumn("nextActive", lit(true))
