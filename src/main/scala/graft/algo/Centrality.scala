@@ -217,29 +217,32 @@ object Centrality {
       .agg(count(lit(1)).as("c")).withColumn("changed", lit(true))
       .transform(graft.core.Materialize.checkpoint)
     var changed = state.count()
+    // node-sized sides hinted shuffle-hash when the per-partition build
+    // slice is cache-friendly (GraphOps.hashBuildHint): a sort-merge join
+    // would re-sort the (large) filtered edge side every sweep
+    val kparts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nNodes = changed
+    def buildSide(df: DataFrame): DataFrame =
+      graft.core.GraphOps.hashBuildHint(df, nNodes, kparts)
     var sweep = 0
     while (changed > 0) {
       sweep += 1
       val t0 = System.nanoTime()
       // nodes with ≥1 changed neighbor — their H-index may have dropped
-      // node-sized sides hinted shuffle-hash: a sort-merge join would
-      // re-sort the (large) filtered edge side every sweep; build sides
-      // are node-state-sized and fit by the partitioning contract
       val changedSrc = state.where(col("changed")).select(col("id").as("src"))
       val affected = symBySrc
-        .join(changedSrc.hint("shuffle_hash"), Seq("src"), "left_semi")
+        .join(buildSide(changedSrc), Seq("src"), "left_semi")
         .select("dst").distinct()
       val hist = symByDst
-        .join(affected.hint("shuffle_hash"), Seq("dst"), "left_semi")
-        .join(state.select(col("id").as("src"), col("c"))
-          .hint("shuffle_hash"), "src")
+        .join(buildSide(affected), Seq("dst"), "left_semi")
+        .join(buildSide(state.select(col("id").as("src"), col("c"))), "src")
         .groupBy(col("dst").as("id"), col("c")).agg(count(lit(1)).as("cnt"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy(col("c").desc)
       val h = hist.withColumn("cum", sum("cnt").over(w))
         .groupBy("id").agg(max(least(col("c"), col("cum"))).as("h"))
       val next = state.select("id", "c")
-        .join(h.hint("shuffle_hash"), Seq("id"), "left")
+        .join(buildSide(h), Seq("id"), "left")
         .select(col("id"),
           least(col("c"), coalesce(col("h"), col("c"))).as("c"),
           (coalesce(col("h"), col("c")) < col("c")).as("changed"))

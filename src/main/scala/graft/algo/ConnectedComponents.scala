@@ -38,22 +38,24 @@ object ConnectedComponents {
     * the component. `sym` must be the symmetrized edge view.
     */
   private def hashMin(spark: SparkSession, sym: DataFrame, nodes: DataFrame,
-                      cfg: Config, depth: Int): DataFrame = {
+                      cfg: Config, depth: Int,
+                      hashBuild: Boolean): DataFrame = {
     val init = nodes.select(col("id"), col("id").as("label"),
       lit(true).as("changed"))
+    // see GraphOps.hashBuildHint — decided once at the top level from the
+    // node count (contraction levels only shrink, so the decision is
+    // conservative there)
+    def buildSide(df: DataFrame): DataFrame =
+      if (hashBuild) df.hint("shuffle_hash") else df
 
     def step(state: DataFrame, iter: Int): DataFrame = {
       val frontier = state.where(col("changed"))
         .select(col("id").as("src"), col("label"))
-      // node-sized sides hinted shuffle-hash: avoids a per-sweep re-sort of
-      // the cached edge table under sort-merge join (same rationale as
-      // PageRank.step; the build side's per-partition slice is
-      // node-state-sized and fits by the partitioning contract)
-      val proposals = sym.join(frontier.hint("shuffle_hash"), "src")
+      val proposals = sym.join(buildSide(frontier), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("prop"))
       state.select("id", "label")
-        .join(proposals.hint("shuffle_hash"), Seq("id"), "left")
+        .join(buildSide(proposals), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("prop"), col("label"))).as("label"),
           (col("prop").isNotNull && col("prop") < col("label")).as("changed"))
@@ -120,7 +122,7 @@ object ConnectedComponents {
         .transform(graft.core.Materialize.checkpoint)
       val cNodes = l.select(col("label").as("id")).distinct()
       val cLabels = hashMin(spark, GraphOps.symmetrize(contracted), cNodes,
-        cfg, depth + 1)
+        cfg, depth + 1, hashBuild)
       // prolong coarse labels back to fine nodes
       val out = l.join(cLabels.select(col("id").as("label"),
           col("label").as("clabel")),
@@ -146,7 +148,10 @@ object ConnectedComponents {
       .select("src", "dst").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = GraphOps.nodes(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val labels = hashMin(spark, sym, nodes, cfg, 0)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val hashBuild = nodes.count() / math.max(parts, 1) <=
+      GraphOps.hashBuildMaxSliceRows
+    val labels = hashMin(spark, sym, nodes, cfg, 0, hashBuild)
     // dense renumber by ascending min-id (= BFS discovery order)
     val comps = labels.select(col("label")).distinct()
     val numbered = DenseId.assign(comps, "component", Seq("label"))

@@ -77,6 +77,13 @@ object PLP {
         lit(true).as("active"))
     }
 
+    // node-sized sides hinted shuffle-hash when the per-partition build
+    // slice is cache-friendly (GraphOps.hashBuildHint): all loop joins are
+    // co-partitioned, so sort-merge would only re-sort both sides per sweep
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def buildSide(df: DataFrame): DataFrame =
+      GraphOps.hashBuildHint(df, n, parts)
+
     def step(state: DataFrame, iter: Int): DataFrame = {
       val labelsOnly = state.select("id", "label")
       // red-black schedule: this sweep's update set is the active nodes of
@@ -90,23 +97,19 @@ object PLP {
       // at minimum half the edges, and a shrinking fraction as the active
       // set drains (previously the full join ran first and the semi-join
       // discarded most of it afterwards).
-      // node-sized sides are hinted shuffle-hash (build side): the m-row
-      // edge side is already partitioned/filtered, and a sort-merge join
-      // would re-sort it every sweep; the build side's per-partition slice
-      // is node-state-sized and fits by the partitioning contract
       val nbr = sym
         .where(pmod(col("dst"), lit(2)) === parity)
-        .join(updateSet.select(col("id").as("dst")).hint("shuffle_hash"),
+        .join(buildSide(updateSet.select(col("id").as("dst"))),
           Seq("dst"), "left_semi")
-        .join(labelsOnly.withColumnRenamed("id", "src")
-          .withColumnRenamed("label", "nlabel").hint("shuffle_hash"), "src")
+        .join(buildSide(labelsOnly.withColumnRenamed("id", "src")
+          .withColumnRenamed("label", "nlabel")), "src")
       val winners = nbr
         .groupBy(col("dst"), col("nlabel"))
         .agg(sum("weight").as("w"))
         .groupBy(col("dst").as("id"))
         .agg(max_by(col("nlabel"),
           struct(col("w"), (-col("nlabel")).as("nl"))).as("winner"))
-      val updated = state.join(winners.hint("shuffle_hash"), Seq("id"), "left")
+      val updated = state.join(buildSide(winners), Seq("id"), "left")
         .select(col("id"), col("active"),
           when(col("winner").isNotNull, col("winner"))
             .otherwise(col("label")).as("label"),
@@ -123,7 +126,7 @@ object PLP {
       // because every changed node carries this sweep's parity
       val nbrOfChanged = sym
         .where(pmod(col("dst"), lit(2)) === parity)
-        .join(changedIds.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+        .join(buildSide(changedIds.withColumnRenamed("id", "dst")),
           Seq("dst"), "left_semi")
         .select(col("src").as("id")).distinct()
       val activeNext = changedIds.unionByName(nbrOfChanged).distinct()

@@ -96,24 +96,24 @@ object PageRank {
           (col("score") / total).as("prev"))
     }
 
+    // Node-sized join sides are hinted shuffle-hash when their per-
+    // partition slice is cache-friendly (GraphOps.hashBuildHint): the
+    // sides are already co-partitioned on the join key (shares by src once
+    // before the loop; state/contribs by id from the previous exchange),
+    // so sort-merge's only contribution is a full re-sort of BOTH sides
+    // EVERY iteration — including the m-row cached shares table.
+    def buildSide(df: DataFrame): DataFrame =
+      GraphOps.hashBuildHint(df, n, parts)
+
     def step(state: DataFrame, iter: Int): DataFrame = {
-      // Both joins are hinted shuffle-hash with the node-sized side as the
-      // build side: the sides are already co-partitioned on the join key
-      // (shares by src once before the loop; state/contribs by id from the
-      // previous exchange), so the only thing a sort-merge join would add
-      // is a full re-sort of BOTH sides EVERY iteration — including the
-      // m-row cached shares table. The build side is the rank vector,
-      // whose per-partition slice is sized to fit executor memory by the
-      // partitioning contract, so the local hash map is safe at scale.
       val contribs = shares
-        .join(state.select(col("id").as("src"), col("score"))
-          .hint("shuffle_hash"), "src")
+        .join(buildSide(state.select(col("id").as("src"), col("score"))), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("share") * col("score")).as("mass"))
       // state is itself the node universe (preserved by the left join),
       // so no extra nodes join is needed
       state.select(col("id"), col("score").as("prevScore"))
-        .join(contribs.hint("shuffle_hash"), Seq("id"), "left")
+        .join(buildSide(contribs), Seq("id"), "left")
         .select(col("id"),
           (lit(cfg.damping) * coalesce(col("mass"), lit(0.0)) + lit(teleport))
             .as("score"),
