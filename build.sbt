@@ -40,3 +40,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // churn the old gen); measured headroom removes that stall class.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Tests run small fixtures on few cores — they don't need the bench box's
+// 24g/1g defaults, and inheriting them hard-codes a 128 GiB machine into
+// `sbt test` (strict-overcommit hosts could fail to fork). Override via
+// SPARK_TEST_MEM when a spec genuinely needs more.
+Test / javaOptions := jdk17AddOpens ++ Seq(
+  "-Dspark.ui.enabled=false",
+  "-Dspark.sql.session.timeZone=UTC",
+  "-XX:ReservedCodeCacheSize=512m",
+  s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "10g")}",
+)

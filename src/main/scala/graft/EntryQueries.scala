@@ -279,10 +279,12 @@ object EntryQueries {
     }),
 
     // one-call graph profile (`networkit/__init__.py:98-136` overview()):
-    // size, density, degree stats, components + largest, SCC count (on the
-    // same augmented directed view the scc query uses), mean local
-    // clustering, degree assortativity — every piece an existing audited
-    // operator, composed into one row
+    // size, density, degree stats, components + largest, SCC count, mean
+    // local clustering, degree assortativity — every piece an existing
+    // audited operator, composed into one row. The SCC column is named
+    // `scc_count_aug` because it is computed on the %7-AUGMENTED directed
+    // view the `scc` query uses (plain G2-directed is acyclic — every SCC a
+    // singleton, a vacuous count), unlike the other ten columns
     "overview" -> ((s, d) => {
       import s.implicits._
       val es = GraphOps.canonicalizeUnweighted(g2(s, d))
@@ -306,12 +308,12 @@ object EntryQueries {
           degAgg.getLong(1), degAgg.getDouble(2), compAgg.getLong(0),
           compAgg.getLong(1), sccN, lccAvg, assort))
         .toDF("n", "m", "density", "deg_min", "deg_max", "deg_avg",
-          "components", "largest_component", "scc_count", "lcc_avg",
+          "components", "largest_component", "scc_count_aug", "lcc_avg",
           "assortativity")
         .select(col("n"), col("m"), round(col("density"), 6).as("density"),
           col("deg_min"), col("deg_max"),
           round(col("deg_avg"), 6).as("deg_avg"), col("components"),
-          col("largest_component"), col("scc_count"),
+          col("largest_component"), col("scc_count_aug"),
           round(col("lcc_avg"), 6).as("lcc_avg"),
           round(col("assortativity"), 6).as("assortativity"))
     }),
@@ -1036,21 +1038,27 @@ aff$p AS MATERIALIZED (
   FROM e_sym s JOIN lab${p - 1} l ON s.src = l.id
   WHERE s.dst % 2 = $parity GROUP BY 1, 2),
 cand$p AS MATERIALIZED (
-  SELECT a.id, a.nlabel,
-    (a.aff - coalesce(ac.aff, 0.0)) / tw.w
-      + (((cc.cvol - v.vol) - cd.cvol) * v.vol) / (2 * tw.w * tw.w) AS delta
+  -- score-space replay of the engine: Δ(u,D) = score(u,D) − affC(u)/tw with
+  -- affC constant per u, so the argmax orders by score and the Δ>0 test
+  -- applies affC afterwards — the identical expression tree on both sides
+  -- keeps FP ties bit-for-bit aligned
+  SELECT a.id, a.nlabel, l.label AS clabel,
+    a.aff / tw.w
+      + (((cc.cvol - v.vol) - cd.cvol) * v.vol) / (2 * tw.w * tw.w) AS score
   FROM aff$p a
   JOIN lab${p - 1} l ON a.id = l.id
   JOIN volq v ON a.id = v.id
   JOIN cv$p cc ON cc.label = l.label
   JOIN cv$p cd ON cd.label = a.nlabel
-  LEFT JOIN aff$p ac ON ac.id = a.id AND ac.nlabel = l.label
   CROSS JOIN tw
   WHERE a.nlabel <> l.label),
 best$p AS MATERIALIZED (
-  SELECT id, nlabel AS winner FROM (
-    SELECT id, nlabel, delta, row_number() OVER (PARTITION BY id ORDER BY delta DESC, nlabel ASC) AS rk
-    FROM cand$p) WHERE rk = 1 AND delta > 1e-15),
+  SELECT c.id, c.nlabel AS winner FROM (
+    SELECT id, nlabel, clabel, score, row_number() OVER (PARTITION BY id ORDER BY score DESC, nlabel ASC) AS rk
+    FROM cand$p) c
+  LEFT JOIN aff$p ac ON ac.id = c.id AND ac.nlabel = c.clabel
+  CROSS JOIN tw
+  WHERE c.rk = 1 AND (c.score - coalesce(ac.aff, 0.0) / tw.w) > 1e-15),
 lab$p AS MATERIALIZED (
   SELECT l.id, coalesce(b.winner, l.label) AS label
   FROM lab${p - 1} l LEFT JOIN best$p b ON l.id = b.id)""")
@@ -2333,7 +2341,7 @@ ORDER BY src, dst""")
          |  round((SELECT avg(degree * 1.0) FROM deg2), 6) AS deg_avg,
          |  (SELECT count(*) FROM csz) AS components,
          |  (SELECT max(sz) FROM csz) AS largest_component,
-         |  (SELECT count(DISTINCT mid) FROM grp) AS scc_count,
+         |  (SELECT count(DISTINCT mid) FROM grp) AS scc_count_aug,
          |  round((SELECT avg(l) FROM lcc), 6) AS lcc_avg,
          |  round((SELECT r FROM assr), 6) AS assortativity""".stripMargin,
 

@@ -20,7 +20,8 @@ object SSSP {
     * BFS jobs).
     */
   def bfs(spark: SparkSession, edges: DataFrame, sources: DataFrame,
-          directed: Boolean = false, maxDepth: Int = 1000): DataFrame = {
+          directed: Boolean = false, maxDepth: Int = 1000,
+          compactEvery: Int = 8): DataFrame = {
     val adj0 = if (directed) edges else GraphOps.symmetrize(edges)
     // src-partitioned once: per-level frontier joins reshuffle only the
     // frontier, never the cached edge table
@@ -33,14 +34,27 @@ object SSSP {
     // alternative — carrying one (source,id,dist,frontier) state table and
     // rewriting it every level — re-materializes O(reached) rows × O(depth)
     // times, which dominated multi-source runs (diameter fringe batches).
+    // The leaf list is COMPACTED into one checkpointed `settled` table
+    // every `compactEvery` levels: web-diameter runs (~20 levels) behave as
+    // before, while high-diameter graphs (chains, meshes) keep the per-level
+    // union plan at ≤ compactEvery+1 leaves instead of O(depth) — the
+    // amortized rewrite is O(reached/compactEvery) rows per level.
     var frontier = sources.select(col("id").as("source"), col("id"),
       lit(0L).as("dist")).transform(graft.core.Materialize.checkpoint)
-    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var settled = frontier // compacted prefix of finished levels
+    val recent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // the live frontier at compaction time: its DATA is merged into
+    // `settled`, but the next level's expansion join still reads the old
+    // checkpoint — freeing it there races the join (observed
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), so the free is deferred until the
+    // next frontier has materialized
+    var pendingFree: Option[DataFrame] = None
     var fSize = frontier.count()
     var depth = 0
     while (fSize > 0 && depth < maxDepth) {
       depth += 1
-      val visited = levels.map(_.select("source", "id")).reduce(_ unionByName _)
+      val visited = (settled +: recent.toSeq)
+        .map(_.select("source", "id")).reduce(_ unionByName _)
       val expanded = adj.join(frontier.select(col("source"),
           col("id").as("src"), col("dist")), "src")
         .select(col("source"), col("dst").as("id"), (col("dist") + 1).as("dist"))
@@ -48,10 +62,24 @@ object SSSP {
       frontier = expanded.join(visited, Seq("source", "id"), "left_anti")
         .transform(graft.core.Materialize.checkpoint)
       fSize = frontier.count()
-      if (fSize > 0) levels += frontier
+      pendingFree.foreach(graft.core.Materialize.free)
+      pendingFree = None
+      if (fSize > 0) recent += frontier
+      if (recent.length >= compactEvery) {
+        val newSettled = (settled +: recent.toSeq)
+          .map(_.select("source", "id", "dist")).reduce(_ unionByName _)
+          .transform(graft.core.Materialize.checkpoint)
+        graft.core.Materialize.free(settled)
+        recent.dropRight(1).foreach(graft.core.Materialize.free)
+        pendingFree = Some(recent.last)
+        recent.clear()
+        settled = newSettled
+      }
     }
     adj.unpersist()
-    levels.map(_.select("source", "id", "dist")).reduce(_ unionByName _)
+    pendingFree.foreach(graft.core.Materialize.free)
+    (settled +: recent.toSeq).map(_.select("source", "id", "dist"))
+      .reduce(_ unionByName _)
   }
 
   /** Weighted SSSP via iterative relaxation (Bellman-Ford / the hash-min

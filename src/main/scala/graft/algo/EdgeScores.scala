@@ -43,7 +43,10 @@ object EdgeScores {
     val rn = graft.core.DenseId.assign(scores, "_rn",
       Seq(scoreCol, "src", "dst"))
     val minRank = rn.groupBy(scoreCol).agg(min("_rn").as("_minrn"))
-    rn.join(minRank, Seq(scoreCol))
+      .withColumnRenamed(scoreCol, "_mrScore")
+    // null-safe equality: NULL scores form one tie group (a plain equi-join
+    // would silently drop those rows)
+    rn.join(minRank, rn(scoreCol) <=> minRank("_mrScore"))
       .withColumn(scoreCol, (col("_minrn") + 1).cast("double") / n)
       .select(scores.columns.map(col).toIndexedSeq: _*)
   }

@@ -136,11 +136,67 @@ object Generators {
       .where(col("src") =!= col("dst"))
   }
 
-  /** Havel–Hakimi-ish deterministic graph with a PRESCRIBED degree sequence
-    * shape (`generators/HavelHakimiGenerator.cpp` capability): the ranked
-    * power-law sequence is realized greedily ring-wise — node i connects to
-    * the next ⌈w_i⌉ nodes in rank order (a deterministic graphical
-    * realization; exact HH stub-matching is sequential by nature).
+  /** HavelHakimiGenerator (`generators/HavelHakimiGenerator.cpp`): EXACT
+    * realization of a graphical degree sequence — node i of the output has
+    * degree `degrees(i)`, exactly. Classic Havel–Hakimi greedy: repeatedly
+    * connect the highest-residual node to the d next-highest. The pairing
+    * loop runs driver-side over the degree SEQUENCE only (the reference is
+    * likewise sequential over its bucket queues): O(n) state, O(m + n log n)
+    * time, independent of how edges distribute. Sortedness of the residual
+    * array is maintained without re-sorting via the contiguous-block
+    * decrement trick — each step decrements the strict-prefix fully plus
+    * the TAIL of the tie block straddling position d. Edge materialization
+    * is distributed from the emitted pairs; at 10^12-edge scale the same
+    * loop emits O(n) rank-interval descriptors expanded by `spark.range`,
+    * so driver memory stays O(n) while edges never touch the driver.
+    * Throws IllegalArgumentException when the sequence is not graphical.
+    */
+  def havelHakimi(spark: SparkSession, degrees: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    val n = degrees.length
+    require(degrees.forall(d => d >= 0 && d < n), "degree out of range [0, n)")
+    // rank order: degree desc, original index asc (stable, deterministic)
+    val byRank = degrees.zipWithIndex.sortBy { case (d, i) => (-d, i) }
+    val ids = byRank.map(_._2.toLong).toArray
+    val res = byRank.map(_._1).toArray
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var h = 0
+    while (h < n && res(h) > 0) {
+      val d = res(h)
+      require(h + d < n,
+        s"not graphical: node ${ids(h)} needs $d partners, ${n - h - 1} left")
+      require(res(h + d) > 0,
+        s"not graphical: fewer than $d positive residuals for node ${ids(h)}")
+      val v = res(h + d)
+      // [lo, hi] = the tie block of value v; binary searches on the
+      // descending residual array
+      var a = h + 1; var b = h + d
+      while (a < b) { val mid = (a + b) / 2; if (res(mid) > v) a = mid + 1 else b = mid }
+      val lo = a
+      a = lo; b = n - 1
+      while (a < b) { val mid = (a + b + 1) / 2; if (res(mid) >= v) a = mid else b = mid - 1 }
+      val hi = a
+      val u = ids(h)
+      var j = h + 1
+      while (j < lo) { // strict prefix: res > v, all targeted
+        res(j) -= 1; edges += ((math.min(u, ids(j)), math.max(u, ids(j)))); j += 1
+      }
+      val take = d - (lo - h - 1) // targets still needed, from the block's tail
+      var k = hi - take + 1
+      while (k <= hi) {
+        res(k) -= 1; edges += ((math.min(u, ids(k)), math.max(u, ids(k)))); k += 1
+      }
+      res(h) = 0
+      h += 1
+    }
+    require(res.forall(_ == 0), "not graphical: leftover residuals")
+    edges.toSeq.toDF("src", "dst").withColumn("weight", lit(1.0))
+  }
+
+  /** Deterministic ranked-ring realization of a power-law degree SHAPE —
+    * kept as the O(1)-driver-state alternative to [[havelHakimi]] (which
+    * realizes an explicit sequence exactly): node i connects to the next
+    * ⌈w_i⌉ nodes in rank order.
     */
   def rankedDegreeRing(spark: SparkSession, n: Long, beta: Double = 2.5,
                        maxDeg: Int = 64): DataFrame = {

@@ -88,29 +88,38 @@ object PLM {
       val cur = labels.withColumnRenamed("label", "clabel")
         .join(vol, "id")
         .join(comVol.select(col("label").as("clabel"), col("cvol").as("cvolC")), "clabel")
-      // candidate deltas; affC = affinity to own community (may be absent).
-      // Checkpointed: BOTH affC and cand scan it — without materialization
-      // the whole edges⋈labels affinity aggregation above evaluates twice
-      // per pass (it is the dominant cost of the move phase).
-      val withAff = aff
-        .join(cur, "id")
+      // Per-row SCORE instead of the reference's per-row Δ: Δ(u, D) =
+      // score(u, D) − affC(u)/tw where affC (affinity to u's own community)
+      // is constant per u — so the argmax over candidate communities is
+      // invariant to it, and the Δ > 0 test can be applied AFTER the argmax
+      // on node-sized rows. This removes the previous shape's aff-scale
+      // checkpoint + affC self-join (the dominant per-pass materialization:
+      // ~7M rows/pass at bench scale): one combined groupBy produces the
+      // score-argmax AND affC together, co-partitioned on the id-keyed join
+      // just above. The DuckDB oracle replays score-space ordering with the
+      // identical expression tree, so FP ties agree bit-for-bit.
+      val scored = aff
         .join(comVol.select(col("label").as("nlabel"), col("cvol").as("cvolD")),
           Seq("nlabel"), "left")
-        .transform(graft.core.Materialize.checkpoint)
-      val affC = withAff.where(col("nlabel") === col("clabel"))
-        .select(col("id"), col("aff").as("affC"))
-      val cand = withAff.where(col("nlabel") =!= col("clabel"))
-        .join(affC, Seq("id"), "left")
-        .select(col("id"), col("nlabel"), col("clabel"),
-          ((col("aff") - coalesce(col("affC"), lit(0.0))) / tw +
+        .join(cur, "id")
+        .select(col("id"), col("nlabel"), col("aff"), col("clabel"),
+          (col("aff") / tw +
             lit(cfg.gamma) *
               (((col("cvolC") - col("vol")) - col("cvolD")) * col("vol")) /
-              (2 * tw * tw)).as("delta"))
-      val best = cand.groupBy("id")
-        .agg(max_by(struct(col("nlabel"), col("delta")),
-          struct(col("delta"), (-col("nlabel")).as("nl"))).as("b"))
-        .select(col("id"), col("b.nlabel").as("winner"), col("b.delta").as("delta"))
-        .where(col("delta") > 1e-15)
+              (2 * tw * tw)).as("score"))
+      // own-community rows sink to -inf in the argmax key (each id has at
+      // most one such row — aff is grouped by (id, nlabel)) and feed affC
+      val best = scored.groupBy("id")
+        .agg(
+          max_by(struct(col("nlabel"), col("score")),
+            struct(when(col("nlabel") =!= col("clabel"), col("score"))
+              .otherwise(lit(Double.NegativeInfinity)),
+              (-col("nlabel")).as("nl"))).as("b"),
+          sum(when(col("nlabel") === col("clabel"), col("aff"))).as("affC"),
+          max(col("clabel")).as("clabel"))
+        .where(col("b.nlabel") =!= col("clabel") &&
+          (col("b.score") - coalesce(col("affC"), lit(0.0)) / tw) > 1e-15)
+        .select(col("id"), col("b.nlabel").as("winner"))
       // changed-flag carried in the checkpointed state: the move count is a
       // cheap scan of the materialized rows, not a second evaluation of the
       // whole candidate/argmax pipeline (which previously doubled pass cost)
@@ -121,7 +130,6 @@ object PLM {
       moved = newLabels.where(col("changed")).count()
       graft.core.Materialize.free(labelsCk)
       graft.core.Materialize.free(comVol)
-      graft.core.Materialize.free(withAff)
       labelsCk = newLabels
       labels = newLabels.select("id", "label")
       if (verbose) System.err.println(
