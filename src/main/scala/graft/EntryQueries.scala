@@ -449,6 +449,12 @@ object EntryQueries {
         .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
         .orderBy("src", "dst")),
 
+    // per-edge modularity-merge gain (`scoring/ModularityScoring.h`)
+    "es_modularity" -> ((s, d) =>
+      graft.algo.EdgeScores.modularityScoring(s, g1Simple(s, d))
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
+        .orderBy("src", "dst")),
+
     "es_backbone" -> ((s, d) => {
       // threshold 0.08 ≈ the 90th-percentile Jaccard on G1 — keeps a
       // nonempty, graph-dependent backbone (0.2 produced 0 rows: schema
@@ -1652,6 +1658,14 @@ ORDER BY src, dst""")
          |  round(count(*) * 1.0 / sum(d), 6) AS closeness,
          |  round(sum(1.0 / d), 6) AS harmonic
          |FROM dist WHERE d > 0 GROUP BY s ORDER BY id""".stripMargin,
+
+    "es_modularity" ->
+      s"""WITH $G1SQL,
+         |tw AS (SELECT CAST(count(*) AS DOUBLE) AS w FROM e_simple)
+         |SELECT e.src, e.dst,
+         |  round(1.0 / tw.w - (da.degree / (2 * tw.w)) * (db.degree / (2 * tw.w)), 6) AS score
+         |FROM e_simple e JOIN deg da ON e.src = da.id JOIN deg db ON e.dst = db.id
+         |CROSS JOIN tw ORDER BY e.src, e.dst""".stripMargin,
 
     "es_jaccard" ->
       s"""WITH $G1SQL,

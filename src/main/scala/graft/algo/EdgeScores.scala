@@ -60,6 +60,25 @@ object EdgeScores {
       .select(col("src"), col("dst"),
         (lit(factor) * col("sa") + lit(1.0 - factor) * col("sb")).as("score"))
 
+  /** ModularityScoring (`scoring/ModularityScoring.h:84-93`): per-edge
+    * modularity increase from merging the endpoints' clusters, evaluated
+    * on the singleton partition the reference's scorer assumes:
+    * `Δmod(u,v) = w(u,v)/tw − (wdeg(u)/(2·tw))·(wdeg(v)/(2·tw))`.
+    * One canonical pass: two node-sized degree joins, no shuffle beyond
+    * them — the same shape as the other per-edge scores.
+    */
+  def modularityScoring(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val canon = GraphOps.canonicalize(edges.where(col("src") =!= col("dst")))
+    val tw = canon.agg(sum("weight")).head().getDouble(0)
+    val wdeg = GraphOps.weightedDegrees(GraphOps.symmetrize(canon))
+    canon
+      .join(wdeg.select(col("id").as("src"), col("wdegree").as("du")), "src")
+      .join(wdeg.select(col("id").as("dst"), col("wdegree").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        (col("weight") / tw -
+          (col("du") / (2 * tw)) * (col("dv") / (2 * tw))).as("score"))
+  }
+
   /** GeometricMeanScore (`edgescores/GeometricMeanScore.cpp`): per edge
     * score / sqrt(deg(u)·deg(v)) — the local-geometric normalization.
     */

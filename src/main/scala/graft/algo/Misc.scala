@@ -468,10 +468,48 @@ object Generators {
     out
   }
 
-  /** Barabási–Albert-ish attachment (`generators/BarabasiAlbertGenerator
-    * .cpp` shape, determinized): node i attaches k edges to targets drawn
-    * ∝ a power-law over [0, i) via counter-based hashing — preferential-
-    * attachment-like degree distribution without sequential state.
+  /** BarabasiAlbertGenerator, EXACT Batagelj–Brandes process
+    * (`generators/BarabasiAlbertGenerator.cpp:113-155` generateBatagelj):
+    * slot array M of 2·k·n entries; init chain M[2v]=v, M[2v+1]=v+1 for
+    * v < n0; then for each new node v and slot i, M[2(vk+i)] = v and
+    * M[2(vk+i)+1] = M[r] with r uniform in [0, 2(vk+i)] INCLUSIVE —
+    * copying a uniform prior slot IS preferential attachment. The
+    * reference's zero-initialized gap (indices 2n0..2n0k−1 read node 0
+    * when k > 1) is replicated faithfully. Draws are determinized by
+    * counter-based hashing (the reference's outputs are RNG-dependent, so
+    * bit-equality with it is undefined anyway; the PROCESS is exact).
+    * Like [[havelHakimi]], the slot loop is driver-side over O(k·n) longs
+    * (the reference is likewise sequential — each slot reads earlier
+    * slots); dedup/self-loop removal is distributed.
+    */
+  def barabasiAlbert(spark: SparkSession, k: Int, nMax: Int, n0: Int = 1,
+                     seed: Long = 42): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && k <= nMax, "k must be in [1, nMax]")
+    require(n0 >= 1 && n0 <= nMax, "n0 must be in [1, nMax]")
+    val m = new Array[Long](2 * k * nMax)
+    for (v <- 0 until n0) { m(2 * v) = v.toLong; m(2 * v + 1) = (v + 1).toLong }
+    for (v <- n0 until nMax; i <- 0 until k) {
+      val s = 2 * (v * k + i)
+      m(s) = v.toLong
+      val bound = s.toLong + 1 // Aux::Random::integer(s) is inclusive
+      val h = PageGen.mix64(PageGen.mix64(seed ^ s.toLong) ^ 0x9E3779B97F4A7C15L)
+      val r = (((h % bound) + bound) % bound).toInt
+      m(s + 1) = m(r)
+    }
+    (0 until k * nMax).map(i => (m(2 * i), m(2 * i + 1)))
+      .toDF("a", "b")
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
+      .distinct()
+      .withColumn("weight", lit(1.0))
+  }
+
+  /** Barabási–Albert-ish attachment (determinized hash-drawn SHAPE variant,
+    * O(1) driver state — kept alongside the exact [[barabasiAlbert]]
+    * process): node i attaches k edges to targets drawn ∝ a power-law over
+    * [0, i) via counter-based hashing.
     */
   def barabasiAlbertLike(spark: SparkSession, n: Long, k: Int = 3,
                          seed: Long = 42): DataFrame = {

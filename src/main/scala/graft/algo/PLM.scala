@@ -79,12 +79,19 @@ object PLM {
       val comVol = labels.join(vol, "id")
         .groupBy("label").agg(sum("vol").as("cvol"))
         .transform(graft.core.Materialize.checkpoint)
-      // affinities of updating nodes to neighbor communities
+      // affinities of updating nodes to neighbor communities. The
+      // candidate-community volume (cvolD) is attached to the LABEL table
+      // before the aggregation — a node-scale join on label — and carried
+      // through the agg as a per-group constant, instead of re-joining the
+      // m-scale aggregated affinities on nlabel afterwards (one whole
+      // edge-scale shuffle per pass removed).
       val aff = nbrs
-        .join(labels.select(col("id").as("src"), col("label").as("nlabel")), "src")
+        .join(labels.select(col("id").as("src"), col("label").as("nlabel"))
+          .join(comVol.select(col("label").as("nlabel"),
+            col("cvol").as("cvolD")), "nlabel"), "src")
         .where(pmod(col("dst"), lit(2)) === parity)
         .groupBy(col("dst").as("id"), col("nlabel"))
-        .agg(sum("weight").as("aff"))
+        .agg(sum("weight").as("aff"), max("cvolD").as("cvolD"))
       val cur = labels.withColumnRenamed("label", "clabel")
         .join(vol, "id")
         .join(comVol.select(col("label").as("clabel"), col("cvol").as("cvolC")), "clabel")
@@ -99,8 +106,6 @@ object PLM {
       // just above. The DuckDB oracle replays score-space ordering with the
       // identical expression tree, so FP ties agree bit-for-bit.
       val scored = aff
-        .join(comVol.select(col("label").as("nlabel"), col("cvol").as("cvolD")),
-          Seq("nlabel"), "left")
         .join(cur, "id")
         .select(col("id"), col("nlabel"), col("aff"), col("clabel"),
           (col("aff") / tw +

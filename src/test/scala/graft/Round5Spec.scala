@@ -53,6 +53,26 @@ class Round5Spec extends SparkTestBase {
     }
   }
 
+  test("barabasiAlbert (Batagelj–Brandes) process properties") {
+    val g = Generators.barabasiAlbert(spark, k = 3, nMax = 1000, n0 = 1, seed = 7)
+    assert(g.where(col("src") === col("dst")).count() == 0, "self loops")
+    assert(g.select("src", "dst").distinct().count() == g.count(), "dup edges")
+    assert(g.count() <= 3000, "at most k*n slot pairs")
+    val deg = graft.core.GraphOps.degrees(graft.core.GraphOps.symmetrize(g))
+    val maxDeg = deg.agg(max("degree")).head().getLong(0)
+    assert(maxDeg >= 30, s"preferential attachment should produce hubs, got $maxDeg")
+    // early nodes keep accumulating degree under preferential attachment
+    val lowMean = deg.where(col("id") < 50).agg(avg(col("degree").cast("double")))
+      .head().getDouble(0)
+    val highMean = deg.where(col("id") >= 500).agg(avg(col("degree").cast("double")))
+      .head().getDouble(0)
+    assert(lowMean > 2 * highMean, s"early $lowMean vs late $highMean")
+    // deterministic: same seed, same edge set
+    val g2 = Generators.barabasiAlbert(spark, k = 3, nMax = 1000, n0 = 1, seed = 7)
+    assert(g.select("src", "dst").unionByName(g2.select("src", "dst"))
+      .distinct().count() == g.count())
+  }
+
   test("bfs on a 520-node path (depth 519): exact dists, compacted visited set") {
     val s = spark; import s.implicits._
     val path = (0L until 519L).map(i => (i, i + 1, 1.0))
