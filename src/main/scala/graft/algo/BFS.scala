@@ -25,7 +25,12 @@ object SSSP {
     val adj0 = if (directed) edges else GraphOps.symmetrize(edges)
     // src-partitioned once: per-level frontier joins reshuffle only the
     // frontier, never the cached edge table
+    // sorted within partitions: InMemoryRelation preserves outputOrdering,
+    // so the per-level sort-merge frontier join skips re-sorting the cached
+    // edge side (multi-source frontiers aren't node-bounded, so these joins
+    // stay SMJ — the sort was paid once per LEVEL otherwise)
     val adj = adj0.select("src", "dst").repartition(col("src"))
+      .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Frontier-accumulating loop: only the CURRENT level materializes per
@@ -89,7 +94,8 @@ object SSSP {
   def weighted(spark: SparkSession, edges: DataFrame, source: Long,
                directed: Boolean = false, maxIter: Int = 1000): DataFrame = {
     val adj0 = if (directed) edges else GraphOps.symmetrize(edges)
-    val adj = adj0.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = adj0.repartition(col("src")).sortWithinPartitions("src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val init = GraphOps.nodes(adj)
       .select(col("id"),

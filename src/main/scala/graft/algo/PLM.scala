@@ -43,58 +43,102 @@ object PLM {
 
   /** One level's move phase: returns (labels, movedAny). */
   private def movePhase(spark: SparkSession, canon: DataFrame, cfg: Config): DataFrame = {
-    val sym = GraphOps.symmetrize(canon).transform(graft.core.Materialize.checkpoint)
     val nodes = GraphOps.nodes(canon)
     val tw = canon.agg(sum("weight")).head().getDouble(0)
 
-    // vol(u): weighted degree + self-loop weight again (loops twice)
-    val wdeg = GraphOps.weightedDegrees(sym)
+    // neighbor edges without self-loops (affinity excludes u itself),
+    // src-partitioned ONCE: the per-pass label join is src-keyed, so each
+    // pass reshuffles only the node-sized label table, never the edges.
+    // The symmetrized view is NOT separately checkpointed — nbrs is its
+    // only edge-scale consumer (one edge-scale materialization per level
+    // saved), and vol derives from the cached nbrs below.
+    // sortWithinPartitions: InMemoryRelation preserves outputOrdering, so
+    // the per-pass sort-merge label join reads the cached edge side
+    // pre-sorted instead of re-sorting m rows every pass (PLM joins run
+    // under AQE, where SMJ is the usual pick at node-scale build sides).
+    val nbrs = GraphOps.symmetrize(canon).where(col("src") =!= col("dst"))
+      .repartition(col("src")).sortWithinPartitions("src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // vol(u): weighted degree + self-loop weight again (loops twice,
+    // `PLM.cpp:47-51`). nbrs is loop-free, so the loop weight enters ×2:
+    // wdeg_sym(u) + loopw(u) == wdeg_noloops(u) + 2·loopw(u).
+    val wdeg = GraphOps.weightedDegrees(nbrs)
     val loops = canon.where(col("src") === col("dst"))
       .groupBy(col("src").as("id")).agg(sum("weight").as("loopw"))
     val vol = nodes.join(wdeg, Seq("id"), "left")
       .join(loops, Seq("id"), "left")
       .select(col("id"),
         (coalesce(col("wdegree"), lit(0.0)) +
-          coalesce(col("loopw"), lit(0.0))).as("vol"))
+          lit(2.0) * coalesce(col("loopw"), lit(0.0))).as("vol"))
       .transform(graft.core.Materialize.checkpoint)
-
-    // neighbor edges without self-loops (affinity excludes u itself),
-    // src-partitioned ONCE: the per-pass label join is src-keyed, so each
-    // pass reshuffles only the node-sized label table, never the edges
-    val nbrs = sym.where(col("src") =!= col("dst"))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var labels = nodes.select(col("id"), col("id").as("label"))
       .transform(graft.core.Materialize.checkpoint)
     var labelsCk = labels // the checkpointed generation behind `labels`
     var pass = 0
     var moved = 1L
+    // moved count two passes ago (same parity as the current pass) — the
+    // red-black analogue of the reference's `moved == 0` stop (`PLM.cpp:
+    // 208-214`): when a parity class's moved count stops improving, the
+    // remaining moves are 2-cycling pairs (measured at bench scale: levels
+    // 3-4 freeze at exactly 75927/118351 movers for 6 straight passes) and
+    // further passes are pure churn. Only active under stopEarly — the
+    // fixed data-independent schedule (stopEarly=false) stays replayable
+    // by the unrolled DuckDB oracle.
+    val prevSameParity = Array(Long.MaxValue, Long.MaxValue)
+    var plateau = false
     val verbose = sys.env.contains("SPARK_GRAFT_PLM_VERBOSE")
-    while ((moved > 0 || !cfg.stopEarly) && pass < cfg.maxMovePasses) {
+    while ((moved > 0 || !cfg.stopEarly) && !plateau && pass < cfg.maxMovePasses) {
       pass += 1
       val t0 = System.nanoTime()
       val parity = pass % 2
-      // checkpointed: referenced twice below (cvolC and cvolD sides)
+      // NOT checkpointed although referenced twice below (cvolD and cvolC
+      // sides): it is a node-scale aggregate with shallow lineage (both
+      // parents are checkpointed), so evaluating it twice inside the one
+      // newLabels job is cheaper than a separate materialization action
+      // per pass (measured: the extra action dominates coarse levels,
+      // where the per-pass floor is fixed job overhead, not data).
       val comVol = labels.join(vol, "id")
         .groupBy("label").agg(sum("vol").as("cvol"))
-        .transform(graft.core.Materialize.checkpoint)
       // affinities of updating nodes to neighbor communities. The
       // candidate-community volume (cvolD) is attached to the LABEL table
       // before the aggregation — a node-scale join on label — and carried
       // through the agg as a per-group constant, instead of re-joining the
       // m-scale aggregated affinities on nlabel afterwards (one whole
       // edge-scale shuffle per pass removed).
-      val aff = nbrs
-        .join(labels.select(col("id").as("src"), col("label").as("nlabel"))
-          .join(comVol.select(col("label").as("nlabel"),
-            col("cvol").as("cvolD")), "nlabel"), "src")
-        .where(pmod(col("dst"), lit(2)) === parity)
-        .groupBy(col("dst").as("id"), col("nlabel"))
-        .agg(sum("weight").as("aff"), max("cvolD").as("cvolD"))
-      val cur = labels.withColumnRenamed("label", "clabel")
-        .join(vol, "id")
-        .join(comVol.select(col("label").as("clabel"), col("cvol").as("cvolC")), "clabel")
+      // Pass 1 of every level starts from singleton labels (label(v) = v,
+      // comVol = vol), so the affinity table IS the edge list: sym pairs
+      // are unique (canonical input), so aff(u→{v}) = w(u,v) with no
+      // aggregation, and cvolD = vol(v) with no label/community joins.
+      // Values are bit-identical to the general path (sum over a 1-row
+      // group), so the fixed-schedule oracle is unaffected; the saved
+      // edge-scale exchange + agg is the single largest pass-1 cost.
+      val aff =
+        if (pass == 1)
+          nbrs.where(pmod(col("dst"), lit(2)) === parity)
+            .join(vol.select(col("id").as("src"), col("vol").as("cvolD")), "src")
+            .select(col("dst").as("id"), col("src").as("nlabel"),
+              col("weight").as("aff"), col("cvolD"))
+        else nbrs
+          .join(labels.select(col("id").as("src"), col("label").as("nlabel"))
+            .join(comVol.select(col("label").as("nlabel"),
+              col("cvol").as("cvolD")), "nlabel"), "src")
+          .where(pmod(col("dst"), lit(2)) === parity)
+          // one exchange instead of two: HashPartitioning(dst) satisfies
+          // the (dst, nlabel) groupBy's clustering AND the downstream
+          // id-keyed cur join + argmax, so the aggregated pairs don't
+          // reshuffle again by id
+          .repartition(col("dst"))
+          .groupBy(col("dst").as("id"), col("nlabel"))
+          .agg(sum("weight").as("aff"), max("cvolD").as("cvolD"))
+      val cur =
+        if (pass == 1)
+          vol.select(col("id"), col("id").as("clabel"), col("vol"),
+            col("vol").as("cvolC"))
+        else labels.withColumnRenamed("label", "clabel")
+          .join(vol, "id")
+          .join(comVol.select(col("label").as("clabel"), col("cvol").as("cvolC")), "clabel")
       // Per-row SCORE instead of the reference's per-row Δ: Δ(u, D) =
       // score(u, D) − affC(u)/tw where affC (affinity to u's own community)
       // is constant per u — so the argmax over candidate communities is
@@ -133,8 +177,10 @@ object PLM {
           col("winner").isNotNull.as("changed"))
         .transform(graft.core.Materialize.checkpoint)
       moved = newLabels.where(col("changed")).count()
+      if (cfg.stopEarly && moved.toDouble >= prevSameParity(parity) * 0.995)
+        plateau = true
+      prevSameParity(parity) = moved
       graft.core.Materialize.free(labelsCk)
-      graft.core.Materialize.free(comVol)
       labelsCk = newLabels
       labels = newLabels.select("id", "label")
       if (verbose) System.err.println(

@@ -53,6 +53,29 @@ class Round5Spec extends SparkTestBase {
     }
   }
 
+  test("PLM plateau stop: fixed schedule untouched, quality preserved") {
+    import graft.algo.PLM
+    val g = graft.core.GraphOps.canonicalize(
+      graft.ingest.PageGen.edges(spark, 400, seed = 11, maxOutDeg = 6))
+      .persist()
+    g.count()
+    // stopEarly=false is the oracle's replayable contract: the plateau stop
+    // must never fire there — same labels as before the optimization
+    // (pinned indirectly by the plm DuckDB oracle; here: determinism)
+    val fixedCfg = PLM.Config(maxMovePasses = 4, maxLevels = 1, stopEarly = false)
+    val a = PLM.run(spark, g, fixedCfg).labels.orderBy("id").collect()
+    val b = PLM.run(spark, g, fixedCfg).labels.orderBy("id").collect()
+    assert(a.sameElements(b))
+    // default config (plateau stop active) must not lose quality vs the
+    // full fixed schedule: the stop only skips passes that 2-cycle
+    val qPlateau = graft.quality.Metrics.modularity(spark, g,
+      PLM.run(spark, g).labels)
+    val qFull = graft.quality.Metrics.modularity(spark, g,
+      PLM.run(spark, g, PLM.Config(stopEarly = false)).labels)
+    assert(qPlateau >= qFull - 0.02, s"plateau $qPlateau vs full $qFull")
+    g.unpersist()
+  }
+
   test("barabasiAlbert (Batagelj–Brandes) process properties") {
     val g = Generators.barabasiAlbert(spark, k = 3, nMax = 1000, n0 = 1, seed = 7)
     assert(g.where(col("src") === col("dst")).count() == 0, "self loops")
