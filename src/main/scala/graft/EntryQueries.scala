@@ -108,6 +108,14 @@ object EntryQueries {
         (((col("src") * 2000 + col("dst")) * 7368787) % 4000000)
           .cast("double"))
 
+  /** gMsf's block structure with TIED weights (8 distinct values) — the
+    * regime where union-of-all-max-forests ≠ any single max forest.
+    */
+  def gMsfTied(spark: SparkSession, dir: String): DataFrame =
+    gMsf(spark, dir).withColumn("weight",
+      ((((col("src") * 2000 + col("dst")) * 7368787) % 8) + 1)
+        .cast("double"))
+
   /** Shared oracle SQL prefix for G1 (WITH-clause body). */
   private val G1SQL =
     """e_raw AS (SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst, l_quantity AS qty FROM lineitem),
@@ -146,6 +154,15 @@ object EntryQueries {
       |ms AS MATERIALIZED (SELECT u, v, CAST(((u*2000+v)*7368787) % 4000000 AS DOUBLE) AS w FROM
       |  (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v FROM m0 WHERE a <> b)),
       |msym AS MATERIALIZED (SELECT u, v, w FROM ms UNION ALL SELECT v AS u, u AS v, w FROM ms)""".stripMargin
+
+  /** gMsfTied mirror: same block structure, weights collapsed to 8 values. */
+  private val GMSFTIEDSQL =
+    """m0 AS (SELECT (l_orderkey % 40) * 50 + (l_partkey*7 + l_suppkey) % 50 AS a,
+      |  (l_orderkey % 40) * 50 + (l_partkey*13 + l_suppkey*3 + 1) % 50 AS b
+      |  FROM lineitem WHERE l_linenumber = 1),
+      |mt AS MATERIALIZED (SELECT u, v, CAST(((u*2000+v)*7368787) % 8 + 1 AS DOUBLE) AS w FROM
+      |  (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v FROM m0 WHERE a <> b)),
+      |mtsym AS MATERIALIZED (SELECT u, v, w FROM mt UNION ALL SELECT v AS u, u AS v, w FROM mt)""".stripMargin
 
   // ============================================================== queries
   type Q = (SparkSession, String) => DataFrame
@@ -256,6 +273,42 @@ object EntryQueries {
     "tri_gcc" -> ((s, d) =>
       Triangles.globalClusteringCoefficient(s, g1Simple(s, d))
         .select(round(col("global_cc"), 6).as("global_cc"))),
+
+    // exact maximum-clique size on G1 (`clique/MaxClique.cpp` capability);
+    // oracle = unrolled k-clique join counts (the witness is tie-ambiguous
+    // across equal-size maximum cliques, so only the size is compared)
+    "clique_max" -> ((s, d) => {
+      import s.implicits._
+      Seq(graft.algo.Cliques.maxClique(s, g1Simple(s, d)).size.toLong)
+        .toDF("clique_size")
+    }),
+
+    // max s-t flow (`flow/EdmondsKarp.cpp` capability, push-relabel
+    // reformulation) on a layered lineitem-derived network: S -> a_i
+    // (cap c_i) -> complete middle at cap 1000 -> b_j (cap d_j) -> T.
+    // With the middle saturated-proof, min cut = min(sum c, sum d) -- an
+    // analytically SQL-computable optimum that pins the whole solver.
+    "flow_value" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val cs = li.groupBy((col("l_orderkey") % 10).as("i"))
+        .agg((pmod(floor(sum("l_quantity")).cast("long"), lit(17L)) + 1)
+          .cast("double").as("cap"))
+      val ds = li.groupBy((col("l_partkey") % 10).as("j"))
+        .agg((pmod(floor(sum("l_quantity")).cast("long"), lit(13L)) + 1)
+          .cast("double").as("cap"))
+      val srcArcs = cs.select(lit(500L).as("src"), col("i").as("dst"),
+        col("cap").as("weight"))
+      val dstArcs = ds.select((col("j") + 100L).as("src"),
+        lit(501L).as("dst"), col("cap").as("weight"))
+      val mid = cs.select(col("i")).crossJoin(ds.select(col("j")))
+        .select(col("i").as("src"), (col("j") + 100L).as("dst"),
+          lit(1000.0).as("weight"))
+      val net = srcArcs.unionByName(mid).unionByName(dstArcs)
+      val res = graft.algo.Flow.maxFlow(s, net, 500L, 501L)
+      Seq(res.flowValue).toDF("raw")
+        .select(round(col("raw"), 4).as("flow_value"))
+    }),
 
     // ---- connected components ------------------------------------------
     "cc_components" -> ((s, d) =>
@@ -485,6 +538,32 @@ object EntryQueries {
     "msf_max" -> ((s, d) =>
       graft.algo.SpanningForest.maximumSpanningForest(s, gMsf(s, d))
         .select(col("src"), col("dst")).orderBy("src", "dst")),
+
+    // union of ALL maximum spanning forests on a TIED-weight graph (8
+    // distinct weights ⇒ the union is strictly larger than any single
+    // forest); oracle = e ∈ union ⟺ maximin path weight == w(e)
+    "umsf" -> ((s, d) =>
+      graft.algo.SpanningForest.unionMaximumSpanningForest(
+        s, gMsfTied(s, d), maxLevels = 16)
+        .select(col("src"), col("dst")).orderBy("src", "dst")),
+
+    // commute-time distance between each component's min and max node on
+    // the UNWEIGHTED unique max spanning forest: on a tree R_eff = hop
+    // distance, so the CG Laplacian solver is pinned against an
+    // independent BFS-doubling oracle; ctd = sqrt(R_eff · m) per the
+    // reference convention (`distance/CommuteTimeDistance.cpp:163-175`)
+    "ctd_tree" -> ((s, d) => {
+      val forest = graft.algo.SpanningForest
+        .maximumSpanningForest(s, gMsf(s, d))
+        .select("src", "dst").withColumn("weight", lit(1.0))
+      val comp = ConnectedComponents.run(s, forest)
+      val pairs = comp.groupBy("component")
+        .agg(min("id").as("u"), max("id").as("v"))
+        .where(col("u") < col("v")).select("u", "v")
+      graft.algo.Resistance.commuteTime(s, forest, pairs)
+        .select(col("u"), col("v"), round(col("ctd"), 4).as("ctd"))
+        .orderBy("u")
+    }),
 
     "luby_mis" -> ((s, d) =>
       graft.algo.IndependentSet.luby(s, g2(s, d)).orderBy("id")),
@@ -813,6 +892,23 @@ object EntryQueries {
     // ---- edge-id surface ------------------------------------------------
     "g_edge_ids" -> ((s, d) =>
       GraphOps.indexEdges(g1Simple(s, d)).orderBy("edge_id")),
+
+    // swapEdge batch (`Graph.h:661`): pair the 40 rank-smallest simple
+    // edges (2i with 2i+1) and rewire each pair {s1,t1},{s2,t2} ->
+    // {s1,t2},{s2,t1}; output the full post-swap edge list
+    "g_swap" -> ((s, d) => {
+      val g = g1Simple(s, d)
+      val ranked = graft.core.DenseId.assign(
+        g.select("src", "dst"), "r", Seq("src", "dst"))
+      val swaps = ranked.where(col("r") % 2 === 0 && col("r") < 40)
+        .select(col("src").as("s1"), col("dst").as("t1"),
+          (col("r") + 1).as("r"))
+        .join(ranked.select(col("src").as("s2"), col("dst").as("t2"),
+          col("r")), "r")
+        .drop("r")
+      GraphOps.swapEdges(g, swaps).select("src", "dst")
+        .orderBy("src", "dst")
+    }),
 
     // ---- text analysis --------------------------------------------------
     "txt_tokens" -> ((s, d) =>
@@ -1191,6 +1287,111 @@ xm$t AS MATERIALIZED (
 SELECT e.u AS src, e.v AS dst FROM ms e
 JOIN xm$rounds m ON m.u = e.u AND m.v = e.v AND m.mw = e.w
 ORDER BY src, dst""")
+    sb.toString
+  }
+
+  /** Union of all maximum spanning forests on the TIED-weight gMsf graph:
+    * e ∈ union ⟺ its weight equals the MAXIMIN path weight between its
+    * endpoints (no strictly-heavier u-v path exists — the deferred-merge
+    * group semantics of `graph/UnionMaximumSpanningForest.cpp:37-76`).
+    * Same doubling relaxation as [[msfMaxSql]], over the tied graph.
+    */
+  private def umsfSql(rounds: Int = 6): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $GMSFTIEDSQL,\n")
+    sb.append("ut0 AS MATERIALIZED (SELECT u, v, w AS mw FROM mtsym)")
+    for (t <- 1 to rounds) {
+      sb.append(s""",
+ut$t AS MATERIALIZED (
+  SELECT u, v, max(mw) AS mw FROM (
+    SELECT u, v, mw FROM ut${t - 1}
+    UNION ALL
+    SELECT a.u, b.v, least(a.mw, b.mw) AS mw
+    FROM ut${t - 1} a JOIN ut${t - 1} b ON a.v = b.u AND a.u <> b.v
+  ) GROUP BY 1, 2)""")
+    }
+    sb.append(s"""
+SELECT e.u AS src, e.v AS dst FROM mt e
+JOIN ut$rounds m ON m.u = e.u AND m.v = e.v AND m.mw = e.w
+ORDER BY src, dst""")
+    sb.toString
+  }
+
+  /** Commute-time distances on the unweighted unique max spanning forest:
+    * forest edges from the maximin characterization ([[msfMaxSql]]),
+    * per-component (min,max)-node pairs from the doubling reachability
+    * closure, hop distances from a min-plus doubling over the forest, and
+    * ctd = sqrt(hops · m) — an independent replay of what the CG solver
+    * must converge to (on a tree R_eff = hop distance).
+    */
+  private def ctdTreeSql(rounds: Int = 6): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $GMSFSQL,\n")
+    sb.append("xm0 AS MATERIALIZED (SELECT u, v, w AS mw FROM msym)")
+    for (t <- 1 to rounds) {
+      sb.append(s""",
+xm$t AS MATERIALIZED (
+  SELECT u, v, max(mw) AS mw FROM (
+    SELECT u, v, mw FROM xm${t - 1}
+    UNION ALL
+    SELECT a.u, b.v, least(a.mw, b.mw) AS mw
+    FROM xm${t - 1} a JOIN xm${t - 1} b ON a.v = b.u AND a.u <> b.v
+  ) GROUP BY 1, 2)""")
+    }
+    sb.append(s""",
+forest AS MATERIALIZED (SELECT e.u, e.v FROM ms e
+  JOIN xm$rounds m ON m.u = e.u AND m.v = e.v AND m.mw = e.w),
+fsym AS MATERIALIZED (SELECT u, v FROM forest UNION ALL SELECT v AS u, u AS v FROM forest),
+hd0 AS MATERIALIZED (SELECT u, v, 1 AS dist FROM fsym)""")
+    for (t <- 1 to rounds) {
+      sb.append(s""",
+hd$t AS MATERIALIZED (
+  SELECT u, v, min(dist) AS dist FROM (
+    SELECT u, v, dist FROM hd${t - 1}
+    UNION ALL
+    SELECT a.u, b.v, a.dist + b.dist AS dist
+    FROM hd${t - 1} a JOIN hd${t - 1} b ON a.v = b.u AND a.u <> b.v
+  ) GROUP BY 1, 2)""")
+    }
+    sb.append(s"""
+SELECT p.u, p.v, round(sqrt(d.dist * (SELECT count(*) FROM forest)), 4) AS ctd
+FROM (SELECT min(id) AS u, max(id) AS v FROM (
+        SELECT u AS id, least(u, min(v)) AS comp FROM xm$rounds GROUP BY u
+      ) GROUP BY comp) p
+JOIN hd$rounds d ON d.u = p.u AND d.v = p.v
+WHERE p.u < p.v
+ORDER BY p.u""")
+    sb.toString
+  }
+
+  /** Maximum-clique size via unrolled ordered k-clique joins: level k+1
+    * extends each ordered k-clique (a < b < ... ascending in the canonical
+    * orientation) by one common out-neighbor of ALL members — k equi-joins
+    * per level. The answer is the largest k with a nonempty level; G1's
+    * ~11% density makes E[max clique] ≈ 6, so `maxK` = 9 leaves headroom
+    * (counts decay ~geometrically past the mode).
+    */
+  private def cliqueMaxSql(maxK: Int = 9): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $G1SQL,\n")
+    sb.append("k2 AS MATERIALIZED (SELECT src AS m1, dst AS m2 FROM e_simple)")
+    for (k <- 3 to maxK) {
+      val prev = k - 1
+      val joins = (1 until prev).map(i =>
+        s"JOIN e_simple e$i ON e$i.src = t.m$i AND e$i.dst = e0.dst")
+        .mkString("\n  ")
+      sb.append(s""",
+k$k AS MATERIALIZED (
+  SELECT ${((1 to prev).map(i => s"t.m$i") :+ s"e0.dst AS m$k").mkString(", ")}
+  FROM k$prev t JOIN e_simple e0 ON e0.src = t.m$prev
+  $joins)""")
+    }
+    val cases = (maxK to 3 by -1).map(k =>
+      s"WHEN (SELECT count(*) FROM k$k) > 0 THEN $k").mkString("\n  ")
+    sb.append(s"""
+SELECT CAST(CASE
+  $cases
+  ELSE 2 END AS BIGINT) AS clique_size""")
     sb.toString
   }
 
@@ -2499,6 +2700,23 @@ ORDER BY src, dst""")
          |  CAST(row_number() OVER (ORDER BY src, dst) - 1 AS BIGINT) AS edge_id
          |FROM e_simple ORDER BY edge_id""".stripMargin,
 
+    "g_swap" ->
+      s"""WITH $G1SQL,
+         |ranked AS MATERIALIZED (SELECT src, dst,
+         |  row_number() OVER (ORDER BY src, dst) - 1 AS r FROM e_simple),
+         |sw AS MATERIALIZED (SELECT a.src AS s1, a.dst AS t1, b.src AS s2, b.dst AS t2
+         |  FROM ranked a JOIN ranked b ON b.r = a.r + 1
+         |  WHERE a.r % 2 = 0 AND a.r < 40),
+         |removed AS (SELECT s1 AS src, t1 AS dst FROM sw
+         |  UNION ALL SELECT s2, t2 FROM sw)
+         |SELECT src, dst FROM (
+         |  SELECT e.src, e.dst FROM e_simple e
+         |  WHERE NOT EXISTS (SELECT 1 FROM removed r
+         |                    WHERE r.src = e.src AND r.dst = e.dst)
+         |  UNION ALL SELECT s1 AS src, t2 AS dst FROM sw
+         |  UNION ALL SELECT s2 AS src, t1 AS dst FROM sw
+         |) ORDER BY src, dst""".stripMargin,
+
     // ---- unrolled iterative oracles (round 2) ---------------------------
     "plp" -> plpSql(8),
     "plm" -> plmSql(4),
@@ -2506,6 +2724,20 @@ ORDER BY src, dst""")
     "luby_mis" -> lubySql(16),
     "msf" -> msfSql(6),
     "msf_max" -> msfMaxSql(6),
+    "umsf" -> umsfSql(6),
+    "ctd_tree" -> ctdTreeSql(6),
+
+    "clique_max" -> cliqueMaxSql(9),
+
+    "flow_value" ->
+      """WITH cs AS (SELECT l_orderkey % 10 AS i,
+        |  CAST(CAST(floor(sum(l_quantity)) AS BIGINT) % 17 + 1 AS DOUBLE) AS cap
+        |  FROM lineitem GROUP BY 1),
+        |ds AS (SELECT l_partkey % 10 AS j,
+        |  CAST(CAST(floor(sum(l_quantity)) AS BIGINT) % 13 + 1 AS DOUBLE) AS cap
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(least((SELECT sum(cap) FROM cs),
+        |  (SELECT sum(cap) FROM ds)), 4) AS flow_value""".stripMargin,
     "matching" -> matchingSql(12),
     "seir" -> seirSql(12, 300000L, 2, 3),
     "sssp_relax8" -> ssspSql(8),

@@ -257,4 +257,91 @@ object Centrality {
     symByDst.unpersist(blocking = false)
     state.select(col("id"), col("c").as("coreness"))
   }
+
+  /** KPathCentrality (`centrality/KPathCentrality.cpp:32-100`): sample `t`
+    * random simple paths of length uniform in [1,k]; score(v) = k·n·
+    * visits(v)/t. The reference's sequential RNG walk is determinized the
+    * usual way (SEIR/Luby/ESMC precedent): start node, length, and every
+    * neighbor choice are integer-hash draws, so the run is replayable.
+    * All `t` walks advance TOGETHER — the state is a (walk, cur, visited)
+    * table and each of the ≤k steps is one adjacency join — and the
+    * reference's 1/ew-weighted neighbor choice among unexplored neighbors
+    * becomes a Gumbel-max draw (argmin over ln(1/u)·ew), which is a plain
+    * hub-safe min-aggregation instead of a per-walk cumulative-sum scan.
+    *
+    * @param samples overrides the reference's t = 2k²·n^(1−2α)·ln n walk
+    *                count (that formula is a statistical budget, not a
+    *                semantic contract; at web scale the caller sizes it).
+    */
+  def kPath(spark: SparkSession, edges: DataFrame, alpha: Double = 0.2,
+            k: Int = 0, samples: Long = 0, seed: Long = 42): DataFrame = {
+    import graft.core.Materialize
+    require(alpha >= -0.5 && alpha <= 0.5,
+      "alpha must lie in interval [-0.5, 0.5]")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sym = GraphOps.symmetrize(
+        edges.where(col("src") =!= col("dst")))
+      .repartition(parts, col("src")).sortWithinPartitions("src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = graft.core.DenseId.assign(
+      GraphOps.nodes(sym), "idx", Seq("id"))
+    val n = nodes.count()
+    val m = sym.count() / 2
+    val kk = if (k > 0) k else math.max(1, math.log((n + m).toDouble).toInt)
+    val t =
+      if (samples > 0) samples
+      else math.ceil(2 * kk * kk * math.pow(n.toDouble, 1 - 2 * alpha) *
+        math.log(n.toDouble)).toLong
+    // deterministic start node + walk length per walk id
+    val M = 1L << 30
+    def u01(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (pmod(c, lit(M)).cast("double") + 0.5) / M.toDouble
+    var walks = spark.range(t).select(col("id").as("wid"))
+      .withColumn("idx", pmod(xxhash64(lit(seed), lit("s"), col("wid")), lit(n)))
+      .join(nodes, "idx")
+      .select(col("wid"), col("id").as("cur"),
+        (pmod(xxhash64(lit(seed), lit("l"), col("wid")), lit(kk.toLong)) + 1)
+          .as("len"),
+        lit(0L).as("step"), array(col("id")).as("visited"))
+      .repartition(parts, col("cur"))
+      .transform(Materialize.checkpoint)
+    for (j <- 1 to kk) {
+      val active = walks.where(col("step") < col("len"))
+      val cand = sym.join(active.select(col("cur").as("src"), col("wid"),
+          col("visited")), "src")
+        .where(!array_contains(col("visited"), col("dst")))
+        // Gumbel-max categorical draw with weights 1/ew: argmin ln(1/u)·ew
+        .select(col("wid"), col("dst"),
+          struct((log(lit(1.0) /
+              u01(xxhash64(lit(seed), col("wid"), lit(j.toLong), col("dst"))))
+            * col("weight")).as("key"), col("dst").as("pick")).as("g"))
+      val chosen = cand.groupBy("wid").agg(min("g").as("g"))
+        .select(col("wid"), col("g.pick").as("nxt"))
+      val next = walks.join(chosen, Seq("wid"), "left")
+        .select(col("wid"),
+          coalesce(col("nxt"), col("cur")).as("cur"),
+          // dead end (no unexplored neighbor): walk ends here
+          when(col("nxt").isNull && col("step") < col("len"), col("step"))
+            .otherwise(col("len")).as("len"),
+          when(col("nxt").isNull, col("step"))
+            .otherwise(col("step") + 1).as("step"),
+          when(col("nxt").isNull, col("visited"))
+            .otherwise(concat(col("visited"), array(col("nxt"))))
+            .as("visited"))
+        .transform(Materialize.checkpoint)
+      Materialize.free(walks)
+      walks = next
+    }
+    // visits exclude the start node (the reference counts pushes, and the
+    // start is pushed without a counter increment)
+    val counts = walks
+      .select(explode(slice(col("visited"), 2, kk)).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("visits"))
+    val out = nodes.join(counts, Seq("id"), "left")
+      .select(col("id"),
+        (lit(kk.toDouble) * n * coalesce(col("visits"), lit(0L)) / t.toDouble)
+          .as("score"))
+    sym.unpersist(blocking = false)
+    out
+  }
 }

@@ -243,6 +243,64 @@ object SpanningForest {
     }
     forest
   }
+
+  /** UnionMaximumSpanningForest (`graph/UnionMaximumSpanningForest.cpp:
+    * 37-76`): every edge that belongs to AT LEAST ONE maximum spanning
+    * forest. The reference walks edges in strictly descending weight
+    * groups against a union-find whose merges are deferred until the
+    * group closes — so an edge is in the union iff its endpoints lie in
+    * different components of the strictly-heavier subgraph. Re-expressed
+    * distributed: one pass per DISTINCT weight (descending); each pass is
+    * an endpoint-label join of that weight group against the current
+    * component labels (= components of everything strictly heavier),
+    * then a component-graph CC merge — the same contraction step Borůvka
+    * above uses. The distinct-weight list is a guarded control-plane
+    * collect (`maxLevels`): the operator targets the discretized edge
+    * scores its sparsification consumers produce (triangle counts,
+    * thresholded scores); continuous weights must be quantized first —
+    * failing loudly beats an unbounded driver loop.
+    */
+  def unionMaximumSpanningForest(spark: SparkSession, edges: DataFrame,
+                                 maxLevels: Int = 64): DataFrame = {
+    val canon = GraphOps.canonicalize(edges.where(col("src") =!= col("dst")))
+      .transform(Materialize.checkpoint)
+    val levels = canon.select("weight").distinct()
+      .orderBy(desc("weight")).limit(maxLevels + 1)
+      .collect().map(_.getDouble(0))
+    require(levels.length <= maxLevels,
+      s"unionMaximumSpanningForest: more than $maxLevels distinct weights; " +
+        "quantize the weights (the reference semantics are per-distinct-" +
+        "weight sequential) or raise maxLevels")
+    var labels = GraphOps.nodes(canon)
+      .select(col("id"), col("id").as("comp"))
+      .transform(Materialize.checkpoint)
+    var union = canon.limit(0)
+    for (w <- levels) {
+      val lab = labels
+      val inUnion = canon.where(col("weight") === w)
+        .join(lab.select(col("id").as("src"), col("comp").as("csrc")), "src")
+        .join(lab.select(col("id").as("dst"), col("comp").as("cdst")), "dst")
+        .where(col("csrc") =!= col("cdst"))
+        .transform(Materialize.checkpoint)
+      if (inUnion.count() > 0) {
+        union = union.unionByName(inUnion.select("src", "dst", "weight"))
+          .transform(Materialize.checkpoint)
+        // merge the group's connections into the labels (deferred like the
+        // reference's nodesToMerge: labels seen by THIS group predate it)
+        val grouped = ConnectedComponents.run(spark,
+          inUnion.select(col("csrc").as("src"), col("cdst").as("dst"))
+            .withColumn("weight", lit(1.0)))
+          .withColumnRenamed("id", "comp")
+        val reps = grouped.join(
+          grouped.groupBy("component").agg(min("comp").as("rep")), "component")
+          .select("comp", "rep")
+        labels = labels.join(reps, Seq("comp"), "left")
+          .select(col("id"), coalesce(col("rep"), col("comp")).as("comp"))
+          .transform(Materialize.checkpoint)
+      }
+    }
+    union
+  }
 }
 
 /** Luby's maximal independent set (`independentset/Luby.cpp`, SURVEY.md

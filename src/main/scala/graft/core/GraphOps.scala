@@ -122,6 +122,33 @@ object GraphOps {
   def removeSelfLoops(edges: DataFrame): DataFrame =
     edges.where(col("src") =!= col("dst"))
 
+  /** swapEdge (`Graph.h:661`, `Graph.cpp` swapEdge): rewire the edges
+    * {s1,t1} and {s2,t2} into {s1,t2} and {s2,t1} — the degree-preserving
+    * double-edge swap. Batched: `swaps` is a table of `(s1,t1,s2,t2)` rows
+    * applied in one pass (one anti-join + two equi-joins; no per-swap
+    * driver round-trips). Each rewired edge keeps the weight of the
+    * half-edge whose SOURCE it preserves, matching the reference's
+    * in-place target overwrite of the adjacency slot. Contract (same as
+    * the reference, which indexes straight into the adjacency arrays):
+    * every removed (s_i,t_i) pair must exist in `edges` with the exact
+    * row orientation given, and the removed pairs must be pairwise
+    * distinct across the batch.
+    */
+  def swapEdges(edges: DataFrame, swaps: DataFrame): DataFrame = {
+    val removed = swaps.select(col("s1").as("src"), col("t1").as("dst"))
+      .unionByName(swaps.select(col("s2").as("src"), col("t2").as("dst")))
+    val kept = edges.join(removed, Seq("src", "dst"), "left_anti")
+    val e1 = edges.select(col("src").as("s1"), col("dst").as("t1"),
+      col("weight"))
+    val e2 = edges.select(col("src").as("s2"), col("dst").as("t2"),
+      col("weight"))
+    val n1 = swaps.join(e1, Seq("s1", "t1"))
+      .select(col("s1").as("src"), col("t2").as("dst"), col("weight"))
+    val n2 = swaps.join(e2, Seq("s2", "t2"))
+      .select(col("s2").as("src"), col("t1").as("dst"), col("weight"))
+    kept.unionByName(n1).unionByName(n2)
+  }
+
   /** Graph scalar stats in one aggregate pass: n, m, self-loops, total edge
     * weight, density (reference accessors `Graph.h:567-745`,
     * `numberOfSelfLoops` `Graph.cpp:859`). `edges` must be the canonical

@@ -423,4 +423,65 @@ object Writers {
       .agg(array_join(array_sort(collect_list(col("id"))), " ").as("value"))
       .orderBy("label").select("value")
       .coalesce(1).write.mode("overwrite").text(path)
+
+  /** Sections glued in guaranteed physical order (the DGS writer's ord
+    * trick: one partition, sorted by (section, line) — a bare
+    * union+coalesce is not order-stable).
+    */
+  private def writeOrdered(path: String,
+                           sections: Seq[DataFrame]): Unit = {
+    val tagged = sections.zipWithIndex.map { case (df, i) =>
+      df.select(lit(i).as("ord"), col("value"))
+    }.reduce(_ unionByName _)
+    tagged.repartition(1).sortWithinPartitions("ord", "value")
+      .select("value")
+      .write.mode("overwrite").text(path)
+  }
+
+  /** DOT writer (`io/DotGraphWriter.cpp:12-20`): `graph {`, one
+    * `u -- v;` line per edge, `}`; digraph/`->` when directed.
+    */
+  def dot(edges: DataFrame, path: String, directed: Boolean = false): Unit = {
+    val arrow = if (directed) " -> " else " -- "
+    val es = edges.select(
+      concat(col("src"), lit(arrow), col("dst"), lit(";")).as("value"))
+    import es.sparkSession.implicits._
+    writeOrdered(path, Seq(
+      Seq(if (directed) "digraph {" else "graph {").toDF("value"),
+      es,
+      Seq("}").toDF("value")))
+  }
+
+  /** GraphML writer (`networkit/GraphMLIO.py:107-210` capability): minimal
+    * schema-valid document — the weight key `d1` when weighted, `n<id>`
+    * node elements, edge elements carrying the weight as `<data>`.
+    */
+  def graphml(edges: DataFrame, path: String, directed: Boolean = false,
+              weighted: Boolean = false): Unit = {
+    val nodes = graft.core.GraphOps.nodes(edges)
+      .select(concat(lit("    <node id=\"n"), col("id"), lit("\"/>"))
+        .as("value"))
+    val es = edges.select(
+      (if (weighted)
+        concat(lit("    <edge source=\"n"), col("src"),
+          lit("\" target=\"n"), col("dst"),
+          lit("\"><data key=\"d1\">"), col("weight"),
+          lit("</data></edge>"))
+      else
+        concat(lit("    <edge source=\"n"), col("src"),
+          lit("\" target=\"n"), col("dst"), lit("\"/>"))).as("value"))
+    import es.sparkSession.implicits._
+    val header = Seq(
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+      "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">") ++
+      (if (weighted)
+        Seq("""  <key for="edge" id="d1" attr.name="weight" attr.type="double"/>""")
+      else Seq.empty) ++
+      Seq(s"""  <graph edgedefault="${if (directed) "directed" else "undirected"}">""")
+    // header lines must keep their own order: give each its own section
+    writeOrdered(path,
+      header.map(h => Seq(h).toDF("value")) ++
+        Seq(nodes, es, Seq("  </graph>").toDF("value"),
+          Seq("</graphml>").toDF("value")))
+  }
 }

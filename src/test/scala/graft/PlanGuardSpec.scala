@@ -48,7 +48,11 @@ class PlanGuardSpec extends SparkTestBase {
     // LogicalRDDs where a static walk can't see them — their internals
     // reuse already-guarded primitives (and RuntimePlanGuardSpec covers the
     // iterative bodies at runtime)
-    "overview", "lp_pr_curve")
+    "overview", "lp_pr_curve",
+    // round-4 additions: UMSF's weight-group loop and the CG solver both
+    // run checkpointed loops at construction time; clique extension and
+    // push-relabel likewise loop at construction
+    "umsf", "ctd_tree", "clique_max", "flow_value")
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
     val here = p +: p.children.flatMap(collectAll)

@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.algo.{Resistance, SpanningForest}
+import graft.core.GraphOps
+
+/** Round-4 late additions: batch swapEdge, UnionMaximumSpanningForest,
+  * and the effective-resistance family (batched PCG Laplacian solver →
+  * SpanningEdgeCentrality exact/approx, CommuteTimeDistance).
+  */
+class Round6Spec extends SparkTestBase {
+
+  // ------------------------------------------------------------ swapEdges
+  test("swapEdges rewires a batch and keeps half-edge weights") {
+    val edges = edgeDF(Seq((0L, 1L, 5.0), (2L, 3L, 7.0), (4L, 5L, 9.0)))
+    val s = spark
+    import s.implicits._
+    val swaps = Seq((0L, 1L, 2L, 3L)).toDF("s1", "t1", "s2", "t2")
+    val out = GraphOps.swapEdges(edges, swaps)
+      .orderBy("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // {0,1},{2,3} -> {0,3},{2,1}; weight follows the preserved source
+    assert(out.toSeq == Seq((0L, 3L, 5.0), (2L, 1L, 7.0), (4L, 5L, 9.0)))
+  }
+
+  test("swapEdges preserves the degree sequence over a batch") {
+    val g = GraphOps.canonicalizeUnweighted(
+      graft.ingest.PageGen.edges(spark, 300, seed = 7)
+        .where(col("src") =!= col("dst")))
+    val ranked = graft.core.DenseId.assign(
+      g.select("src", "dst"), "r", Seq("src", "dst"))
+    val swaps = ranked.where(col("r") % 2 === 0 && col("r") < 40)
+      .select(col("src").as("s1"), col("dst").as("t1"), col("r"))
+      .join(ranked.select(col("src").as("s2"), col("dst").as("t2"),
+        (col("r") - 1).as("r")), "r")
+      .drop("r")
+    val out = GraphOps.swapEdges(g, swaps)
+    assert(out.count() == g.count())
+    def degs(df: DataFrame) = GraphOps.symmetrize(df)
+      .groupBy("src").agg(count(lit(1)).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(degs(out) == degs(g))
+  }
+
+  // ----------------------------------------------------------------- UMSF
+  /** Definition check: e=(u,v,w) is in the union of all maximum spanning
+    * forests iff u,v are NOT connected using only strictly-heavier edges.
+    */
+  private def umsfBrute(edges: Seq[(Long, Long, Double)]): Set[(Long, Long)] = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map { case (u, v, w) => (math.min(u, v), math.max(u, v), w) }
+      .groupBy(e => (e._1, e._2)).map { case (k, es) => (k._1, k._2, es.map(_._3).sum) }
+      .toSeq
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct
+    canon.filter { case (u, v, w) =>
+      val heavier = canon.filter(_._3 > w).map(e => (e._1, e._2))
+      val comp = Oracles.components(nodes, heavier)
+      comp(u) != comp(v)
+    }.map(e => (e._1, e._2)).toSet
+  }
+
+  test("unionMaximumSpanningForest matches the per-edge definition on tied weights") {
+    val raw = graft.ingest.PageGen.edges(spark, 120, seed = 13)
+      .where(col("src") =!= col("dst"))
+    val g = GraphOps.canonicalizeUnweighted(raw)
+      .withColumn("weight",
+        pmod(xxhash64(col("src"), col("dst"), lit(99L)), lit(4L))
+          .cast("double") + 1.0)
+    val seq = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = umsfBrute(seq)
+    val got = SpanningForest.unionMaximumSpanningForest(spark, g)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // the determinized MaxSF is one member of the family -> subset of the union
+    val maxSf = SpanningForest.maximumSpanningForest(spark, g)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maxSf.subsetOf(got), "MaxSF must be contained in the union")
+  }
+
+  test("unionMaximumSpanningForest equals MaxSF when weights are distinct") {
+    val g = edgeDF(Seq((0L, 1L, 3.0), (1L, 2L, 5.0), (0L, 2L, 4.0),
+      (2L, 3L, 1.0), (3L, 4L, 2.0), (2L, 4L, 6.0)))
+    val union = SpanningForest.unionMaximumSpanningForest(spark, g)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val maxSf = SpanningForest.maximumSpanningForest(spark, g)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(union == maxSf)
+  }
+
+  test("unionMaximumSpanningForest rejects unquantized continuous weights") {
+    val g = GraphOps.canonicalizeUnweighted(
+        graft.ingest.PageGen.edges(spark, 200, seed = 17)
+          .where(col("src") =!= col("dst")))
+      .withColumn("weight",
+        xxhash64(col("src"), col("dst")).cast("double"))
+    intercept[IllegalArgumentException] {
+      SpanningForest.unionMaximumSpanningForest(spark, g, maxLevels = 16)
+    }
+  }
+
+  // ------------------------------------------------------------ writers
+  test("dot writer emits the reference line format in order") {
+    val g = edgeDF(Seq((0L, 1L, 2.5), (1L, 2L, 1.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graftw").toString
+    graft.sources.Writers.dot(g, s"$dir/g.dot")
+    val lines = spark.read.text(s"$dir/g.dot")
+      .collect().map(_.getString(0))
+    assert(lines.head == "graph {" && lines.last == "}")
+    assert(lines.toSet.contains("0 -- 1;") && lines.toSet.contains("1 -- 2;"))
+    assert(lines.length == 4)
+  }
+
+  test("graphml writer emits a well-formed weighted document") {
+    val g = edgeDF(Seq((0L, 1L, 2.5), (1L, 2L, 1.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graftw").toString
+    graft.sources.Writers.graphml(g, s"$dir/g.graphml", weighted = true)
+    val doc = scala.xml.XML.loadString(
+      spark.read.text(s"$dir/g.graphml")
+        .collect().map(_.getString(0)).mkString("\n"))
+    assert((doc \ "graph" \ "node").length == 3)
+    val es = doc \ "graph" \ "edge"
+    assert(es.length == 2)
+    assert((doc \ "graph" \@ "edgedefault") == "undirected")
+    assert((es \ "data").map(_.text.toDouble).sorted == Seq(1.0, 2.5))
+  }
+
+  // ------------------------------------------------------------ cliques
+  private def bruteMaxClique(edges: Seq[(Long, Long)]): Int = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val adj = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toSet
+    var best = if (nodes.isEmpty) 0 else 1
+    for (mask <- 1 until (1 << nodes.size)) {
+      val sub = nodes.indices.filter(i => (mask & (1 << i)) != 0).map(nodes)
+      if (sub.size > best &&
+        sub.combinations(2).forall(p => adj((p(0), p(1))))) best = sub.size
+    }
+    best
+  }
+
+  test("maxClique finds a planted K4 exactly") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val g = edgeDF(undirected(k4 ++ Seq((3L, 4L), (4L, 5L), (5L, 6L)): _*))
+    val r = graft.algo.Cliques.maxClique(spark, g)
+    assert(r.size == 4)
+    assert(r.witness == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("maxClique matches brute force on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 13
+    val es = (for (i <- 0 until n; j <- (i + 1) until n
+                   if rnd.nextDouble() < 0.45)
+      yield (i.toLong, j.toLong)).toSeq
+    val want = bruteMaxClique(es)
+    val r = graft.algo.Cliques.maxClique(spark, edgeDF(undirected(es: _*)))
+    assert(r.size == want, s"got ${r.size} want $want")
+    // the witness must actually be a clique of that size
+    val adj = es.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toSet
+    assert(r.witness.size == want)
+    assert(r.witness.combinations(2).forall(p => adj((p(0), p(1)))))
+  }
+
+  test("maxClique on a triangle-free star is 2") {
+    val g = edgeDF(undirected((1L to 6L).map(i => (0L, i)): _*))
+    assert(graft.algo.Cliques.maxClique(spark, g).size == 2)
+  }
+
+  // --------------------------------------------------------------- flow
+  private def checkFlow(edges: Seq[(Long, Long, Double)], s: Long, t: Long,
+                        want: Double): Unit = {
+    val g = edgeDF(edges)
+    val r = graft.algo.Flow.maxFlow(spark, g, s, t)
+    assert(math.abs(r.flowValue - want) < 1e-9,
+      s"flow ${r.flowValue} want $want")
+    // max-flow = min-cut duality: the returned source side must cut
+    // exactly `want` capacity
+    val side = r.sourceSide.collect().map(_.getLong(0)).toSet
+    assert(side.contains(s) && !side.contains(t))
+    val cutCap = edges.filter { case (u, v, _) =>
+      side.contains(u) ^ side.contains(v) }.map(_._3).sum
+    assert(math.abs(cutCap - want) < 1e-9, s"cut $cutCap want $want")
+    // conservation at interior nodes (net arc flow sums to zero)
+    val net = r.arcFlows.select(col("src").as("id"), (-col("flow")).as("f"))
+      .unionByName(r.arcFlows.select(col("dst").as("id"), col("flow").as("f")))
+      .groupBy("id").agg(sum("f").as("net"))
+      .where(col("id") =!= s && col("id") =!= t &&
+        abs(col("net")) > 1e-9)
+    assert(net.count() == 0, "flow conservation violated")
+  }
+
+  test("maxFlow: bottleneck path") {
+    checkFlow(Seq((0L, 1L, 5.0), (1L, 2L, 2.0), (2L, 3L, 4.0)), 0L, 3L, 2.0)
+  }
+
+  test("maxFlow: parallel paths add") {
+    checkFlow(Seq((0L, 1L, 3.0), (1L, 5L, 3.0),
+      (0L, 2L, 2.0), (2L, 5L, 7.0),
+      (0L, 3L, 1.0), (3L, 4L, 0.5), (4L, 5L, 9.0)), 0L, 5L, 5.5)
+  }
+
+  test("maxFlow: classic diamond with cross edge") {
+    // s=0, t=3; 0-1:3, 0-2:2, 1-2:1, 1-3:2, 2-3:3 -> max flow 5
+    checkFlow(Seq((0L, 1L, 3.0), (0L, 2L, 2.0), (1L, 2L, 1.0),
+      (1L, 3L, 2.0), (2L, 3L, 3.0)), 0L, 3L, 5.0)
+  }
+
+  test("maxFlow: disconnected sink gives zero") {
+    val r = graft.algo.Flow.maxFlow(spark,
+      edgeDF(Seq((0L, 1L, 4.0), (2L, 3L, 4.0))), 0L, 3L)
+    assert(r.flowValue == 0.0)
+  }
+
+  // ------------------------------------------------------------ KPath
+  test("kPath ranks a star's hub first and is replayable") {
+    val g = edgeDF(undirected((1L to 10L).map(i => (0L, i)): _*))
+    val run1 = graft.algo.Centrality.kPath(spark, g, k = 3, samples = 400)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every walk that starts at a leaf steps through the hub
+    assert(run1.maxBy(_._2)._1 == 0L)
+    assert(run1(0L) > 0.0)
+    val run2 = graft.algo.Centrality.kPath(spark, g, k = 3, samples = 400)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run1 == run2, "hash-drawn walks must replay exactly")
+  }
+
+  test("kPath rejects alpha outside [-0.5, 0.5]") {
+    val g = edgeDF(undirected((0L, 1L)))
+    intercept[IllegalArgumentException] {
+      graft.algo.Centrality.kPath(spark, g, alpha = 0.7, samples = 10)
+    }
+  }
+
+  // ----------------------------------------------------- resistance / CTD
+  test("pairResistance recovers analytic effective resistances") {
+    val s = spark
+    import s.implicits._
+    // path 0-1-2-3 plus a triangle 10-11-12 and a 4-cycle 20-21-22-23
+    val g = edgeDF(undirected((0L, 1L), (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (20L, 23L)))
+    val pairs = Seq((0L, 3L), (0L, 1L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("u", "v")
+    val byPair = Resistance.pairResistance(spark, g, pairs)
+      .select("u", "v", "resistance")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(byPair((0L, 3L)) - 3.0) < 1e-6)       // path ends
+    assert(math.abs(byPair((0L, 1L)) - 1.0) < 1e-6)       // path edge
+    assert(math.abs(byPair((10L, 11L)) - 2.0 / 3.0) < 1e-6) // triangle edge
+    assert(math.abs(byPair((20L, 21L)) - 3.0 / 4.0) < 1e-6) // C4 adjacent
+    assert(math.abs(byPair((20L, 22L)) - 1.0) < 1e-6)       // C4 opposite
+  }
+
+  test("commuteTime matches the reference sqrt(R*m) convention") {
+    val s = spark
+    import s.implicits._
+    val g = edgeDF(undirected((0L, 1L), (1L, 2L), (2L, 3L))) // m = 3
+    val got = Resistance.commuteTime(spark, g, Seq((0L, 3L)).toDF("u", "v"))
+      .collect().head.getDouble(2)
+    assert(math.abs(got - math.sqrt(3.0 * 3.0)) < 1e-6)
+  }
+
+  test("spanningEdgeExact satisfies Foster's theorem (sum = n - 1)") {
+    val g = GraphOps.canonicalizeUnweighted(
+      graft.algo.Generators.erdosRenyi(spark, 24, 0.25, seed = 23)
+        .where(col("src") =!= col("dst")))
+    // keep the largest component only so the identity is exact per tree
+    val comp = graft.algo.ConnectedComponents.run(spark, g)
+    val largest = comp.groupBy("component").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c")).limit(1).select("component")
+    val keep = comp.join(largest, "component").select("id")
+    val sub = GraphOps.subgraph(g, keep)
+    val n = GraphOps.nodes(sub).count()
+    val total = Resistance.spanningEdgeExact(spark, sub)
+      .agg(sum("score")).head().getDouble(0)
+    assert(math.abs(total - (n - 1.0)) < 1e-4,
+      s"Foster: got $total want ${n - 1}")
+  }
+
+  test("spanningEdgeApprox tracks exact scores and is deterministic") {
+    val g = edgeDF(undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (0L, 2L), (3L, 4L), (4L, 5L), (5L, 3L), (1L, 4L)))
+    val exact = Resistance.spanningEdgeExact(spark, g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = Resistance.spanningEdgeApprox(spark, g, kOverride = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    exact.foreach { case (e, want) =>
+      assert(math.abs(approx(e) - want) / want < 0.35,
+        s"edge $e: approx ${approx(e)} vs exact $want")
+    }
+    // the ±1 draws are hash-replayable; values agree to solver precision
+    // (shuffle aggregation order is not bit-pinned, so not exact equality)
+    val again = Resistance.spanningEdgeApprox(spark, g, kOverride = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    again.foreach { case (e, v) =>
+      assert(math.abs(v - approx(e)) < 1e-9,
+        s"sketch not replayable at $e: $v vs ${approx(e)}")
+    }
+  }
+}

@@ -90,6 +90,19 @@ class RuntimePlanGuardSpec extends SparkTestBase {
       SSSP.bfs(spark, edges, Seq(0L).toDF("id"), maxDepth = 3).count()
       PLM.run(spark, edges, PLM.Config(maxMovePasses = 2, maxLevels = 1))
         .labels.count()
+      // round-4 iterative additions, bounded: UMSF weight-group loop,
+      // CG Laplacian solve, push-relabel rounds, kPath walk steps
+      val tied = graft.core.GraphOps.canonicalizeUnweighted(
+          edges.where(col("src") =!= col("dst")))
+        .withColumn("weight",
+          pmod(xxhash64(col("src"), col("dst")), lit(3L)).cast("double") + 1)
+      SpanningForest.unionMaximumSpanningForest(spark, tied, maxLevels = 8)
+        .count()
+      Resistance.pairResistance(spark, tied,
+        Seq((0L, 1L)).toDF("u", "v"), maxIter = 4).count()
+      Flow.maxFlow(spark, edgeDF(Seq((0L, 1L, 2.0), (1L, 2L, 1.0),
+        (0L, 3L, 1.0), (3L, 2L, 3.0))), 0L, 2L)
+      Centrality.kPath(spark, edges, k = 3, samples = 64).count()
     } finally {
       org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
       spark.listenerManager.unregister(listener)
