@@ -484,4 +484,102 @@ object Writers {
         Seq(nodes, es, Seq("  </graph>").toDF("value"),
           Seq("</graphml>").toDF("value")))
   }
+
+  /** Like [[writeOrdered]] but with an intra-section sort key `i` (node
+    * lines of positional formats must land in id order, not value order).
+    */
+  private def writeOrderedKeyed(path: String,
+                                sections: Seq[DataFrame]): Unit = {
+    val tagged = sections.zipWithIndex.map { case (df, s) =>
+      df.select(lit(s).as("s"), col("i"), col("value"))
+    }.reduce(_ unionByName _)
+    tagged.repartition(1).sortWithinPartitions("s", "i", "value")
+      .select("value")
+      .write.mode("overwrite").text(path)
+  }
+
+  /** METIS writer (`io/METISGraphWriter.cpp` capability): header
+    * `n m [1]`, then line i+1 lists the 1-based neighbors of node i
+    * (`nbr w` pairs when `weighted`). The format is positional, so the
+    * node universe is 0..max(id); ids in that range without edges get
+    * empty lines, matching the reference's full-adjacency dump. Inverse
+    * of [[Readers.metis]] up to neighbor order.
+    */
+  def metis(edges: DataFrame, path: String, weighted: Boolean = false): Unit = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = graft.core.GraphOps.canonicalize(
+      edges.where(col("src") =!= col("dst")))
+    val sym = graft.core.GraphOps.symmetrize(canon)
+    val maxId = graft.core.GraphOps.nodes(canon)
+      .agg(max("id")).head().get(0)
+    val n = if (maxId == null) 0L else maxId.asInstanceOf[Long] + 1L
+    val m = canon.count()
+    val adj =
+      if (weighted)
+        sym.groupBy(col("src").as("i"))
+          .agg(array_join(flatten(transform(
+            array_sort(collect_list(struct(col("dst"), col("weight")))),
+            p => array((p("dst") + 1).cast("string"),
+              p("weight").cast("string")))), " ").as("value"))
+      else
+        sym.groupBy(col("src").as("i"))
+          .agg(array_join(array_sort(collect_list(
+            (col("dst") + 1).cast("string"))), " ").as("value"))
+    val lines = spark.range(n).select(col("id").as("i"))
+      .join(adj, Seq("i"), "left")
+      .select(col("i"), coalesce(col("value"), lit("")).as("value"))
+    val header = Seq((0L, s"$n $m" + (if (weighted) " 1" else "")))
+      .toDF("i", "value")
+    writeOrderedKeyed(path, Seq(header, lines))
+  }
+
+  /** SNAP writer (`io/SNAPGraphWriter.cpp` capability): `#` comment header
+    * carrying the node/edge counts, then one `u\tv` line per edge in
+    * (src, dst) order. [[Readers.snap]] reads it back (ids remapped by
+    * first appearance, the SNAP convention).
+    */
+  def snap(edges: DataFrame, path: String, directed: Boolean = false): Unit = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").as("i"),
+      concat_ws("\t", col("src").cast("string"), col("dst").cast("string"))
+        .as("value"))
+    val n = graft.core.GraphOps.nodes(edges).count()
+    val m = edges.count()
+    val header = Seq(
+      (0L, s"# ${if (directed) "Directed" else "Undirected"} graph"),
+      (1L, s"# Nodes: $n Edges: $m"),
+      (2L, "# FromNodeId\tToNodeId")).toDF("i", "value")
+    writeOrderedKeyed(path, Seq(header, es))
+  }
+
+  /** GEXF writer (`networkit/GEXFIO.py:15-120` capability): minimal
+    * 1.2draft document — `<node id>` per node, `<edge>` elements with a
+    * stable `e<u>_<v>` id and the weight attribute when `weighted`.
+    */
+  def gexf(edges: DataFrame, path: String, directed: Boolean = false,
+           weighted: Boolean = false): Unit = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nodes = graft.core.GraphOps.nodes(edges)
+      .select(col("id").as("i"),
+        concat(lit("      <node id=\""), col("id"), lit("\"/>")).as("value"))
+    val es = edges.select(col("src").as("i"),
+      concat(lit("      <edge id=\"e"), col("src"), lit("_"), col("dst"),
+        lit("\" source=\""), col("src"), lit("\" target=\""), col("dst"),
+        if (weighted) concat(lit("\" weight=\""), col("weight")) else lit(""),
+        lit("\"/>")).as("value"))
+    def sec(ls: String*): DataFrame =
+      ls.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("i", "value")
+    writeOrderedKeyed(path, Seq(
+      sec("<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+        "<gexf xmlns=\"http://www.gexf.net/1.2draft\" version=\"1.2\">",
+        s"""  <graph defaultedgetype="${if (directed) "directed" else "undirected"}">""",
+        "    <nodes>"),
+      nodes,
+      sec("    </nodes>", "    <edges>"),
+      es,
+      sec("    </edges>", "  </graph>", "</gexf>")))
+  }
 }

@@ -125,6 +125,137 @@ class Round6Spec extends SparkTestBase {
     assert((es \ "data").map(_.text.toDouble).sorted == Seq(1.0, 2.5))
   }
 
+  test("metis writer round-trips a weighted graph with an isolated id") {
+    // node 2 has no edges but sits inside 0..max(id): must get an empty line
+    val g = edgeDF(Seq((0L, 1L, 2.5), (1L, 3L, 1.0), (3L, 4L, 4.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graftw").toString
+    graft.sources.Writers.metis(g, s"$dir/g.metis", weighted = true)
+    val lines = spark.read.text(s"$dir/g.metis").collect().map(_.getString(0))
+    assert(lines.length == 6 && lines.head == "5 3 1")
+    // the reader dumps both directions; distinct after the canonical
+    // projection recovers each undirected edge once with its weight
+    val back = graft.sources.Readers.metis(spark, s"$dir/g.metis")
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("weight"))
+      .distinct().orderBy("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(back.toSeq == Seq((0L, 1L, 2.5), (1L, 3L, 1.0), (3L, 4L, 4.0)))
+  }
+
+  test("metis writer round-trips unweighted with the 2-token header") {
+    val g = edgeDF(Seq((0L, 1L, 1.0), (1L, 2L, 1.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graftw").toString
+    graft.sources.Writers.metis(g, s"$dir/g.metis")
+    val lines = spark.read.text(s"$dir/g.metis").collect().map(_.getString(0))
+    assert(lines.head == "3 2")
+    val back = GraphOps.canonicalize(
+      graft.sources.Readers.metis(spark, s"$dir/g.metis"))
+    assert(back.count() == 2)
+  }
+
+  test("snap writer round-trips through the first-appearance reader") {
+    // ids already in first-appearance order along (src,dst): remap = id
+    val g = edgeDF(Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 2L, 1.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graftw").toString
+    graft.sources.Writers.snap(g, s"$dir/g.snap")
+    val raw = spark.read.text(s"$dir/g.snap").collect().map(_.getString(0))
+    assert(raw.take(3).forall(_.startsWith("#")) && raw.length == 6)
+    assert(raw(1) == "# Nodes: 3 Edges: 3")
+    val back = graft.sources.Readers.snap(spark, s"$dir/g.snap")
+      .orderBy("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(back.toSeq == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("gexf writer emits a well-formed weighted document") {
+    val g = edgeDF(Seq((0L, 1L, 2.5), (1L, 2L, 1.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graftw").toString
+    graft.sources.Writers.gexf(g, s"$dir/g.gexf", weighted = true)
+    val doc = scala.xml.XML.loadString(
+      spark.read.text(s"$dir/g.gexf")
+        .collect().map(_.getString(0)).mkString("\n"))
+    assert((doc \ "graph" \ "nodes" \ "node").length == 3)
+    val es = doc \ "graph" \ "edges" \ "edge"
+    assert(es.length == 2)
+    assert((doc \ "graph" \@ "defaultedgetype") == "undirected")
+    assert(es.map(e => (e \@ "weight").toDouble).sorted == Seq(1.0, 2.5))
+  }
+
+  // ------------------------------------------------------- graph-tool gt
+  private def gtGolden(littleEndian: Boolean): Array[Byte] = {
+    // n=3 undirected triangle per the published gt spec: magic, v1,
+    // endianness, empty comment, directed=0, n=3, width=1 lists stored at
+    // the higher endpoint: u0:[], u1:[0], u2:[0,1]
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 + 1 + 8 + 3 * 8 + 3)
+      .order(if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(Array(0xe2, 0x9b, 0xbe, 0x20, 0x67, 0x74).map(_.toByte))
+    bb.put(1.toByte).put(if (littleEndian) 0.toByte else 1.toByte)
+    bb.putLong(0L).put(0.toByte).putLong(3L)
+    bb.putLong(0L)
+    bb.putLong(1L).put(0.toByte)
+    bb.putLong(2L).put(0.toByte).put(1.toByte)
+    bb.array()
+  }
+
+  test("graph-tool binary reader decodes golden bytes, both endiannesses") {
+    for (le <- Seq(true, false)) {
+      val dir = java.nio.file.Files.createTempDirectory("graftgt")
+      val f = dir.resolve("g.gt")
+      java.nio.file.Files.write(f, gtGolden(le))
+      val (edges, directed) =
+        graft.sources.GraphToolBinary.read(spark, f.toString)
+      assert(!directed)
+      val got = GraphOps.canonicalizeUnweighted(edges)
+        .orderBy("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    }
+  }
+
+  test("graph-tool binary round-trips at 2-byte width") {
+    val g = GraphOps.canonicalizeUnweighted(
+      graft.ingest.PageGen.edges(spark, 300, seed = 11)
+        .where(col("src") =!= col("dst")))
+    val dir = java.nio.file.Files.createTempDirectory("graftgt")
+    val f = dir.resolve("g.gt").toString
+    graft.sources.GraphToolBinary.write(g, f)
+    val (back, directed) = graft.sources.GraphToolBinary.read(spark, f)
+    assert(!directed)
+    val a = GraphOps.canonicalizeUnweighted(back).orderBy("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = g.orderBy("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq && a.length > 250)
+  }
+
+  test("graph-tool binary round-trips a directed graph") {
+    val g = edgeDF(Seq((0L, 1L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graftgt")
+    val f = dir.resolve("g.gt").toString
+    graft.sources.GraphToolBinary.write(g, f, directed = true)
+    val (back, directed) = graft.sources.GraphToolBinary.read(spark, f)
+    assert(directed)
+    val got = back.orderBy("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L), (1L, 0L), (2L, 0L)))
+  }
+
+  test("graph-tool binary reader rejects bad magic and bad version") {
+    val dir = java.nio.file.Files.createTempDirectory("graftgt")
+    val bad1 = dir.resolve("bad1.gt")
+    java.nio.file.Files.write(bad1, Array.fill[Byte](32)(7))
+    intercept[Exception] {
+      graft.sources.GraphToolBinary.read(spark, bad1.toString)._1.count()
+    }
+    val badVer = gtGolden(littleEndian = true); badVer(6) = 2
+    val bad2 = dir.resolve("bad2.gt")
+    java.nio.file.Files.write(bad2, badVer)
+    intercept[Exception] {
+      graft.sources.GraphToolBinary.read(spark, bad2.toString)._1.count()
+    }
+  }
+
   // ------------------------------------------------------------ cliques
   private def bruteMaxClique(edges: Seq[(Long, Long)]): Int = {
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
