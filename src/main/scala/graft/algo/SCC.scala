@@ -184,25 +184,53 @@ object StronglyConnectedComponents {
           .transform(Materialize.checkpoint)
         // frontier-accumulating reach: only the current level materializes;
         // settled levels stay as checkpointed leaves and the dedup anti-join
-        // unions them (same shape as SSSP.bfs — never rewrite visited state)
-        var frontier = roots.select(col("id"), col("id").as("root"))
-          .transform(Materialize.checkpoint)
-        val reachLevels = scala.collection.mutable.ArrayBuffer(frontier)
+        // unions them (same shape as SSSP.bfs — never rewrite visited state).
+        // The frontier carries only `id`: within an equal-color class a
+        // visited node's root IS its color (roots satisfy color(r) = r and
+        // `rev` is color-confined), so the per-level distinct is over one
+        // column and the root attaches once at the end from `colorOf`.
+        // Like SSSP.bfs, the leaf list compacts into one checkpointed table
+        // every 8 levels so high-diameter reach keeps the union plan at ≤9
+        // leaves instead of O(depth).
+        var frontier = roots.transform(Materialize.checkpoint)
+        var settled = frontier
+        val recent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        var pendingFree: Option[DataFrame] = None // see SSSP.bfs: freeing the
+        // just-compacted live frontier races its expansion join
         var nFound = frontier.count()
         var fSize = nFound
+        var levels = 1
         phase(s"reach(outer=$outer)") { while (fSize > 0) {
-          val visitedIds = reachLevels.map(_.select("id")).reduce(_ unionByName _)
-          val expanded = rev.join(frontier.select(col("id").as("from"), col("root")), "from")
-            .select(col("to").as("id"), col("root")).distinct()
+          levels += 1
+          val visitedIds = (settled +: recent.toSeq).reduce(_ unionByName _)
+          val expanded = rev.join(frontier.select(col("id").as("from")), "from")
+            .select(col("to").as("id")).distinct()
           frontier = expanded.join(visitedIds, Seq("id"), "left_anti")
             .transform(Materialize.checkpoint)
           fSize = frontier.count()
-          if (fSize > 0) { reachLevels += frontier; nFound += fSize }
+          pendingFree.foreach(Materialize.free)
+          pendingFree = None
+          if (fSize > 0) { recent += frontier; nFound += fSize }
+          if (recent.length >= 8) {
+            val newSettled = (settled +: recent.toSeq)
+              .reduce(_ unionByName _).transform(Materialize.checkpoint)
+            Materialize.free(settled)
+            recent.dropRight(1).foreach(Materialize.free)
+            pendingFree = Some(recent.last)
+            recent.clear()
+            settled = newSettled
+          }
         } }
-        if (verbose) System.err.println(s"[scc] reach levels=${reachLevels.size} found=$nFound")
+        pendingFree.foreach(Materialize.free)
+        if (verbose) System.err.println(s"[scc] reach levels=$levels found=$nFound")
         // a node reaching multiple roots is impossible within equal color:
         // its color equals the single largest root reaching it
-        val visited = reachLevels.reduce(_ unionByName _)
+        val visited = (settled +: recent.toSeq).reduce(_ unionByName _)
+          .join(colorOf, "id")
+          .select(col("id"), col("color").as("root"))
+          .transform(Materialize.checkpoint)
+        Materialize.free(settled)
+        recent.foreach(Materialize.free)
         found += visited
         removeNodes(visited.select("id"))
         remaining -= nFound
