@@ -96,36 +96,45 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
 
+    // Schedule: every query contributes nReps fresh-session rep thunks, and
+    // the reps execute REP-MAJOR (rep 1 of every query, then rep 2, ...).
+    // The box's effective memory bandwidth swings ~2× minute-to-minute
+    // (BASELINE.md ambient-variance attribution), so back-to-back reps of
+    // one query all land in the same weather window and the median/min can
+    // still absorb a sustained bad patch; interleaving spreads each query's
+    // reps across the full bench wall-clock at ZERO extra cost, so the
+    // aggregation sees decorrelated draws. Each rep returns
+    // (seconds, pagerankIters, edgeCount) — the latter two used only by the
+    // headline.
+    sealed trait Agg
+    case object MedianAgg extends Agg // symmetric noise
+    case object MinAgg extends Agg    // one-sided contention noise (heavies)
+    final case class Sched(name: String, nReps: Int, agg: Agg,
+                           rep: () => (Double, Int, Long))
+    val sched = scala.collection.mutable.ArrayBuffer.empty[Sched]
+
     // HEADLINE (north rule): PageRank edges/s/iteration at tol 1e-6.
     // Median of 3 reps, each in a FRESH session with its own discarded
     // 4-iteration warmup (JIT + codegen + cache materialization dominate
     // the first run; measured ~4× steady state). iters/edges are reported
     // from the MEDIAN rep, not the last one — the value the time refers to.
-    if (wanted("pagerank")) {
-      val reps = (1 to repsOverride.getOrElse(3)).map { _ =>
-        withSession(cpus) { spark =>
-          val (edges, nodes) = graph(spark)
-          PageRank.run(spark, edges, nodes,
-            PageRank.Config(tol = 1e-6, maxIter = 4))
-            .scores.agg(sum("score")).head()
-          freeState(spark)
-          var it = 0
-          val t = time {
-            val r = PageRank.run(spark, edges, nodes,
-              PageRank.Config(tol = 1e-6, maxIter = 100))
-            it = r.iterations
-            r.scores.agg(sum("score")).head()
-          }
-          (t, it, m)
+    if (wanted("pagerank")) sched += Sched("pagerank",
+      repsOverride.getOrElse(3), MedianAgg, () =>
+      withSession(cpus) { spark =>
+        val (edges, nodes) = graph(spark)
+        PageRank.run(spark, edges, nodes,
+          PageRank.Config(tol = 1e-6, maxIter = 4))
+          .scores.agg(sum("score")).head()
+        freeState(spark)
+        var it = 0
+        val t = time {
+          val r = PageRank.run(spark, edges, nodes,
+            PageRank.Config(tol = 1e-6, maxIter = 100))
+          it = r.iterations
+          r.scores.agg(sum("score")).head()
         }
-      }.sortBy(_._1)
-      System.err.println(s"pagerank reps: ${reps.map(_._1).mkString(", ")}")
-      val (tMed, itMed, mMed) = reps(reps.length / 2)
-      results("pagerank") = tMed
-      prIters = itMed
-      m = mMed
-      prRan = true
-    }
+        (t, it, m)
+      })
 
     // Remaining graph jobs (reference-bench parity set,
     // `benchmark/nk.py:21-80`: CC, CoreDecomposition, BFS, PLM, PLP,
@@ -167,7 +176,7 @@ object Bench {
     for (g <- graphJobs if wanted(g.name)) {
       val nReps = repsOverride.getOrElse(if (g.heavy) 2 else 3)
       val warmFrac = if (g.heavy) 4L else 10L
-      val reps = (1 to nReps).map { _ =>
+      sched += Sched(g.name, nReps, if (g.heavy) MinAgg else MedianAgg, () =>
         withSession(cpus) { spark =>
           // Discarded JIT/codegen warmup: the SAME job on a reduced graph.
           val (we, wn) = graphN(spark,
@@ -176,38 +185,54 @@ object Bench {
           freeState(spark)
           we.unpersist(blocking = false); wn.unpersist(blocking = false)
           val (edges, nodes) = graph(spark)
-          time { g.job(spark, edges, nodes) }
-        }
-      }.sorted
-      System.err.println(s"${g.name} reps: ${reps.mkString(", ")}")
-      results(g.name) = if (g.heavy) reps.head else reps(reps.length / 2)
+          (time { g.job(spark, edges, nodes) }, 0, 0L)
+        })
     }
 
     // Relational surface on the driver's sf tables, one fresh session per
     // query. tri_per_edge (the round-2 regression) gets the same
     // warmup + median-of-3 treatment as the headline.
-    if (wanted("tri_per_edge")) {
-      val reps = (1 to repsOverride.getOrElse(3)).map { _ =>
-        withSession(cpus) { spark =>
-          EntryQueries.queries("tri_per_edge")(spark, sfDir).count() // warmup
-          time { EntryQueries.queries("tri_per_edge")(spark, sfDir).count() }
-        }
-      }.sorted
-      System.err.println(s"tri_per_edge reps: ${reps.mkString(", ")}")
-      results("tri_per_edge") = reps(reps.length / 2)
-    }
+    if (wanted("tri_per_edge")) sched += Sched("tri_per_edge",
+      repsOverride.getOrElse(3), MedianAgg, () =>
+      withSession(cpus) { spark =>
+        EntryQueries.queries("tri_per_edge")(spark, sfDir).count() // warmup
+        (time { EntryQueries.queries("tri_per_edge")(spark, sfDir).count() },
+          0, 0L)
+      })
     for (q <- Seq("pr20", "dedup_minhash_pairs", "emb_topk",
         "emb_neardup_lsh", "txt_quality", "events_sessions", "cc_components",
         "matching", "seir") if wanted(q)) {
-      val reps = (1 to repsOverride.getOrElse(3)).map { _ =>
+      sched += Sched(q, repsOverride.getOrElse(3), MedianAgg, () =>
         withSession(cpus) { spark =>
           EntryQueries.queries(q)(spark, sfDir).count() // discarded warmup
           freeState(spark)
-          time { EntryQueries.queries(q)(spark, sfDir).count() }
-        }
-      }.sorted
-      System.err.println(s"$q reps: ${reps.mkString(", ")}")
-      results(q) = reps(reps.length / 2)
+          (time { EntryQueries.queries(q)(spark, sfDir).count() }, 0, 0L)
+        })
+    }
+
+    // Execute rep-major, then aggregate per query.
+    val repAcc = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Double, Int, Long)]]
+    sched.foreach(s => repAcc(s.name) =
+      scala.collection.mutable.ArrayBuffer.empty)
+    val maxReps = if (sched.isEmpty) 0 else sched.map(_.nReps).max
+    for (r <- 0 until maxReps; s <- sched if r < s.nReps) {
+      val res = s.rep()
+      repAcc(s.name) += res
+      System.err.println(
+        f"[bench] ${s.name} rep ${r + 1}/${s.nReps}: ${res._1}%.3f s")
+    }
+    for (s <- sched) {
+      val reps = repAcc(s.name).sortBy(_._1)
+      System.err.println(s"${s.name} reps: ${reps.map(_._1).mkString(", ")}")
+      val chosen = s.agg match {
+        case MinAgg    => reps.head
+        case MedianAgg => reps(reps.length / 2)
+      }
+      results(s.name) = chosen._1
+      if (s.name == "pagerank") {
+        prIters = chosen._2; m = chosen._3; prRan = true
+      }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
