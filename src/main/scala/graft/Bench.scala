@@ -21,8 +21,20 @@ object Bench {
   private val benchNodes: Long =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_NODES", "2000000").toLong
 
-  def buildSession(cpus: String): SparkSession =
+  def buildSession(cpus: String): SparkSession = {
+    // The bounded-input windows (DenseId `_pid` offsets — #partitions rows;
+    // the Dynamics timeline — #TIME_STEP rows) emit a benign
+    // "No Partition Defined" WARN per call; 8+ of them flood the log tail
+    // the driver records with BENCH_r{N}.json, hiding the per-rep spread
+    // lines the variance attribution needs. RuntimePlanGuardSpec asserts at
+    // runtime that no UNbounded partition-less window exists in any bench
+    // query, so the warning carries no information here — silence it for
+    // bench sessions only (library sessions keep the default level).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     graft.core.Sessions.build(cpus, "graft-bench")
+  }
 
   /** Fresh SparkSession per measured query (BASELINE.md protocol, now
     * applied inside the harness itself rather than only in self-runs):
@@ -222,9 +234,12 @@ object Bench {
       System.err.println(
         f"[bench] ${s.name} rep ${r + 1}/${s.nReps}: ${res._1}%.3f s")
     }
+    val repsJson = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (s <- sched) {
       val reps = repAcc(s.name).sortBy(_._1)
       System.err.println(s"${s.name} reps: ${reps.map(_._1).mkString(", ")}")
+      repsJson(s.name) =
+        reps.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
       val chosen = s.agg match {
         case MinAgg    => reps.head
         case MedianAgg => reps(reps.length / 2)
@@ -237,6 +252,14 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // All reps per query, ascending, INSIDE the artifact: the box's
+    // effective memory bandwidth swings ~2× minute-to-minute (BASELINE.md
+    // ambient-variance attribution), and a point estimate alone cannot be
+    // attributed — a wide spread with a fast best rep = weather, a tight
+    // slow spread = code. The stderr rep lines carry the same data but the
+    // driver records only the log TAIL, which warnings can displace.
+    val repsField = repsJson.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(""","reps":{""", ",", "}")
     val total = results.values.sum
     // pagerank-derived fields come from the MEDIAN pagerank rep and are
     // omitted when pagerank didn't run (a SPARK_GRAFT_BENCH_ONLY subset
@@ -244,7 +267,7 @@ object Bench {
     val prFields = if (prRan)
       s""","bench_edges":$m,"pagerank_iters":$prIters,"pagerank_eps_per_iter":${m.toDouble * prIters / results("pagerank")}"""
     else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_nodes":$benchNodes$prFields,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$repsField,"sf":"$sfDir","bench_nodes":$benchNodes$prFields,"cpus":$cpus}""")
   }
 }
 
