@@ -11,6 +11,12 @@ import graft.core.{DenseId, GraphOps, Materialize}
   * trim + forward-max-coloring + backward-reach algorithm (Orzan's coloring
   * / FW-BW family — the standard dataflow SCC):
   *
+  *  0. **Giant-SCC pivot pre-pass** (FW-BW — Fleischer/Hendrickson/Pinar):
+  *     two plain BFS passes from a max-`least(outd,ind)` pivot extract
+  *     SCC(pivot) = BW∩FW before any coloring. On bow-tie web graphs this
+  *     removes the dominant giant SCC touching each node once per pass,
+  *     and the subsequent trim consumes the remaining pure-DAG tendrils —
+  *     steps 1-4 then only ever see small multi-SCC remainders.
   *  1. **Trim**: a node with no remaining in-edges or no remaining
   *     out-edges is its own SCC (repeat to a fixpoint — this alone consumes
   *     the DAG-like fringe of web graphs).
@@ -92,6 +98,51 @@ object StronglyConnectedComponents {
     val found = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
     var remaining = deg.count()
+
+    // ---- 0. giant-SCC pre-pass: FW-BW from a pivot (the FW-BW-Trim
+    // family — Fleischer/Hendrickson/Pinar; Hong et al.; Slota et al.).
+    // On bow-tie web graphs one giant SCC dominates; two plain BFS passes
+    // find it touching each reached node once per pass, where max-coloring
+    // floods interim colors through the giant component (14 edge sweeps +
+    // 37 pointer jumps on the 2M-node bench graph) before reach even
+    // starts. The pre-pass needs no liveness bookkeeping: SCC(pivot) is a
+    // property of the full graph, and confining the backward pass to the
+    // forward set preserves every backward path between SCC members (each
+    // node of any v→pivot path is itself pivot-reachable via v), so
+    // BW∩FW = SCC(pivot) exactly. Pivot choice is a heuristic only for
+    // SPEED, never correctness: max least(outd, ind) — a nontrivial SCC
+    // needs both sides, so pure sinks/sources (which a raw max-degree
+    // pick lands on in web graphs) are excluded; if the pivot still lands
+    // outside the giant SCC the pre-pass extracts its (small) SCC
+    // correctly and the coloring rounds below absorb the rest unchanged.
+    // Extracting the giant first also turns round 1's trim loose on the
+    // carcass: IN/OUT tendrils become pure DAG and peel away entirely.
+    if (remaining > 0) {
+      val pivot = deg
+        .orderBy(least(col("outd"), col("ind")).desc,
+          (col("outd") + col("ind")).desc, col("id").asc)
+        .limit(1).select("id")
+      val fw = phase("pivot-fw") {
+        SSSP.bfs(spark, eBySrc, pivot, directed = true)
+          .select("id").transform(Materialize.checkpoint)
+      }
+      val bwEdges = eBySrc
+        .join(fw.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(fw.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val scc = phase("pivot-bw") {
+        SSSP.bfs(spark, bwEdges, pivot, directed = true)
+          .select("id").transform(Materialize.checkpoint)
+      }
+      val pivotId = pivot.head().get(0) // before removeNodes frees deg
+      val size = scc.count()
+      if (verbose) System.err.println(
+        s"[scc] pivot=$pivotId fw=${fw.count()} scc=$size")
+      found += scc.select(col("id"), lit(pivotId).as("root"))
+      removeNodes(scc)
+      remaining -= size
+      Materialize.free(fw)
+    }
 
     while (remaining > 0 && outer < maxOuter) {
       outer += 1

@@ -428,4 +428,42 @@ class Round6Spec extends SparkTestBase {
         s"sketch not replayable at $e: $v vs ${approx(e)}")
     }
   }
+
+  // ---------------------------------------------------- SCC pivot pre-pass
+  test("SCC pivot pre-pass: highest-degree pivot in a SMALL SCC stays exact") {
+    val s = spark
+    import s.implicits._
+    // node 100 has the largest least(outd, ind) — the pre-pass pivot — but
+    // its SCC is only {100, 101}; the larger 5-cycle must still come out of
+    // the coloring rounds after the pre-pass, and the fan tendrils trim to
+    // singletons. Pins the pivot heuristic as speed-only, never semantics.
+    val cyc5 = (0L to 4L).map(i => (i, (i + 1) % 5))
+    val two = Seq((100L, 101L), (101L, 100L))
+    val fanIn = (10L to 19L).map(i => (i, 100L))
+    val fanOut = (20L to 29L).map(i => (100L, i))
+    val edges = (cyc5 ++ two ++ fanIn ++ fanOut).toDF("src", "dst")
+    val got = graft.algo.StronglyConnectedComponents.run(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parts = got.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val singles: Set[Set[Long]] =
+      ((10L to 19L) ++ (20L to 29L)).map(Set(_)).toSet
+    assert(parts == singles + (0L to 4L).toSet + Set(100L, 101L))
+  }
+
+  test("SCC pivot pre-pass: pure-sink hub is never picked as pivot") {
+    val s = spark
+    import s.implicits._
+    // node 50 is a sink with in-degree 12 (max TOTAL degree) but outd = 0 —
+    // least(outd, ind) = 0 keeps it out of pivot contention, so the
+    // pre-pass lands on the 3-cycle and extracts it in one FW-BW pass
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val sink = (10L to 21L).map(i => (i, 50L))
+    val edges = (cyc ++ sink).toDF("src", "dst")
+    val got = graft.algo.StronglyConnectedComponents.run(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parts = got.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val singles: Set[Set[Long]] =
+      ((10L to 21L).map(Set(_)) :+ Set(50L)).toSet
+    assert(parts == singles + Set(0L, 1L, 2L))
+  }
 }
