@@ -15,6 +15,17 @@ object Materialize {
     org.apache.spark.sql.graftshim.StatsReset.stripOriginStats(
       df.localCheckpoint(true))
 
+  /** Lazy variant: truncates the logical plan to a flat `LogicalRDD` NOW
+    * (so composing k hops inside one job keeps per-hop planning O(1)
+    * instead of doubling the tree per hop) but runs no job — the RDD
+    * materializes, caches, and drops its lineage when the first downstream
+    * action touches it. Use for intermediate states inside a multi-hop
+    * unrolled job; `free` it once the enclosing job has completed.
+    */
+  def checkpointLazy(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.StatsReset.stripOriginStats(
+      df.localCheckpoint(false))
+
   /** Free the block-manager copy behind a checkpointed DataFrame. */
   def free(df: DataFrame): Unit =
     df.queryExecution.logical match {

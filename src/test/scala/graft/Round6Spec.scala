@@ -466,4 +466,21 @@ class Round6Spec extends SparkTestBase {
       ((10L to 21L).map(Set(_)) :+ Set(50L)).toSet
     assert(parts == singles + Set(0L, 1L, 2L))
   }
+
+  test("kcore sweep-unrolling: slow-drain path + clique fixpoint is exact") {
+    // A 60-node path drains its H-index one hop per sweep from both ends
+    // (~30 sweeps sequentially), forcing the unrolled multi-hop jobs; a K5
+    // hung off node 0 pins a second coreness level. Coreness: K5 nodes = 4,
+    // every path node = 1.
+    val path = (0L until 59L).map(i => (i, i + 1, 1.0))
+    val k5 = for (i <- 100L until 105L; j <- (i + 1) until 105L)
+      yield (i, j, 1.0)
+    val bridge = Seq((0L, 100L, 1.0))
+    val got = graft.algo.Centrality
+      .coreDecomposition(spark, edgeDF(path ++ k5 ++ bridge))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 60L).map(_ -> 1L).toMap ++
+      (100L until 105L).map(_ -> 4L).toMap
+    assert(got == want)
+  }
 }
