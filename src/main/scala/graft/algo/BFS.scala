@@ -21,17 +21,29 @@ object SSSP {
     */
   def bfs(spark: SparkSession, edges: DataFrame, sources: DataFrame,
           directed: Boolean = false, maxDepth: Int = 1000,
-          compactEvery: Int = 8): DataFrame = {
-    val adj0 = if (directed) edges else GraphOps.symmetrize(edges)
-    // src-partitioned once: per-level frontier joins reshuffle only the
-    // frontier, never the cached edge table
-    // sorted within partitions: InMemoryRelation preserves outputOrdering,
-    // so the per-level sort-merge frontier join skips re-sorting the cached
-    // edge side (multi-source frontiers aren't node-bounded, so these joins
-    // stay SMJ — the sort was paid once per LEVEL otherwise)
-    val adj = adj0.select("src", "dst").repartition(col("src"))
-      .sortWithinPartitions("src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+          compactEvery: Int = 8, prebuiltAdj: Boolean = false): DataFrame = {
+    // `prebuiltAdj`: the caller hands an adjacency table that is ALREADY in
+    // traversal orientation (symmetric for undirected graphs), already
+    // src-partitioned + sorted + persisted, and owns its lifecycle. Callers
+    // that run several BFS passes over one graph (Diameter: pivot pass,
+    // double sweep, every fringe batch) build that cache ONCE instead of
+    // paying a re-symmetrize (which would double an already-symmetric
+    // table) plus a full shuffle + sort + cache build per call.
+    val adj =
+      if (prebuiltAdj) edges.select("src", "dst")
+      else {
+        val adj0 = if (directed) edges else GraphOps.symmetrize(edges)
+        // src-partitioned once: per-level frontier joins reshuffle only the
+        // frontier, never the cached edge table
+        // sorted within partitions: InMemoryRelation preserves
+        // outputOrdering, so the per-level sort-merge frontier join skips
+        // re-sorting the cached edge side (multi-source frontiers aren't
+        // node-bounded, so these joins stay SMJ — the sort was paid once
+        // per LEVEL otherwise)
+        adj0.select("src", "dst").repartition(col("src"))
+          .sortWithinPartitions("src")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
 
     // Frontier-accumulating loop: only the CURRENT level materializes per
     // sweep; settled levels stay as already-checkpointed leaves and the
@@ -81,7 +93,7 @@ object SSSP {
         settled = newSettled
       }
     }
-    adj.unpersist()
+    if (!prebuiltAdj) adj.unpersist()
     pendingFree.foreach(graft.core.Materialize.free)
     (settled +: recent.toSeq).map(_.select("source", "id", "dist"))
       .reduce(_ unionByName _)

@@ -28,7 +28,13 @@ object Diameter {
     */
   def exact(spark: SparkSession, edges: DataFrame,
             maxLevels: Int = 1000): Long = {
+    // ONE traversal cache for every BFS this run makes (pivot pass, double
+    // sweep, every fringe batch): symmetric orientation, src-partitioned,
+    // sorted, persisted — passed to SSSP.bfs as `prebuiltAdj` so no call
+    // re-symmetrizes (which would double the rows in every per-level join)
+    // or rebuilds the shuffle+sort+cache.
     val sym = GraphOps.symmetrize(edges).select("src", "dst")
+      .repartition(col("src")).sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val comps = ConnectedComponents.run(spark, edges)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -43,8 +49,8 @@ object Diameter {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // one batched BFS from all pivots; source identifies the component
-    val pivotDist = SSSP.bfs(spark, sym.withColumn("weight", lit(1.0)),
-        pivots.select("id"))
+    val pivotDist = SSSP.bfs(spark, sym, pivots.select("id"),
+        prebuiltAdj = true)
       .join(pivots.select(col("id").as("source"), col("component")), "source")
       .persist(StorageLevel.MEMORY_AND_DISK)
     pivotDist.count()
@@ -81,7 +87,7 @@ object Diameter {
         .groupBy("component")
         .agg(max(struct(col("dist"), (-col("id")).as("negid"))).as("f"))
         .select((-col("f.negid")).as("id"))
-      val sweepEcc = SSSP.bfs(spark, sym.withColumn("weight", lit(1.0)), far)
+      val sweepEcc = SSSP.bfs(spark, sym, far, prebuiltAdj = true)
         .agg(max("dist")).head().getLong(0)
       lb = math.max(lb, sweepEcc)
     }
@@ -115,8 +121,8 @@ object Diameter {
       }
       if (iLow < 1) iLow = 1
       if (batch.nonEmpty) {
-        val fringeEcc = SSSP.bfs(spark, sym.withColumn("weight", lit(1.0)),
-            batch.reduce(_ unionByName _))
+        val fringeEcc = SSSP.bfs(spark, sym,
+            batch.reduce(_ unionByName _), prebuiltAdj = true)
           .agg(max("dist")).head().getLong(0)
         lb = math.max(lb, fringeEcc)
       }

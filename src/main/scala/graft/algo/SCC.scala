@@ -65,9 +65,13 @@ object StronglyConnectedComponents {
     // DAG-ish web fringes with deep peel chains.
     val e0 = edges.select("src", "dst")
       .where(col("src") =!= col("dst")).distinct()
-    val eBySrc = e0.repartition(col("src"))
+    // sorted within partitions: InMemoryRelation preserves outputOrdering,
+    // so every per-round sort-merge join keyed on the cache's own key reads
+    // it pre-sorted (one O(m log m) at build instead of per round), and the
+    // pivot-fw BFS can take eBySrc as a prebuilt adjacency outright.
+    val eBySrc = e0.repartition(col("src")).sortWithinPartitions("src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eByDst = e0.repartition(col("dst"))
+    val eByDst = e0.repartition(col("dst")).sortWithinPartitions("dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outd0 = eBySrc.groupBy(col("src").as("id")).agg(functions.count(lit(1)).as("outd"))
     val ind0 = eByDst.groupBy(col("dst").as("id")).agg(functions.count(lit(1)).as("ind"))
@@ -123,7 +127,9 @@ object StronglyConnectedComponents {
           (col("outd") + col("ind")).desc, col("id").asc)
         .limit(1).select("id")
       val fw = phase("pivot-fw") {
-        SSSP.bfs(spark, eBySrc, pivot, directed = true)
+        // eBySrc IS the traversal cache (src-partitioned, sorted,
+        // persisted) — prebuiltAdj skips bfs's redundant reshuffle + copy
+        SSSP.bfs(spark, eBySrc, pivot, directed = true, prebuiltAdj = true)
           .select("id").transform(Materialize.checkpoint)
       }
       val bwEdges = eBySrc
