@@ -61,8 +61,14 @@ object ConnectedComponents {
           (col("prop").isNotNull && col("prop") < col("label")).as("changed"))
     }
 
-    def changedCount(prev: DataFrame, next: DataFrame): Double =
-      next.where(col("changed")).count().toDouble
+    // convergence metric is next-only, so sweeps run through the fused
+    // unrolled driver: hash-min moves labels one hop per sweep and most
+    // levels run their full sweep budget, so composing sweeps into one job
+    // (lazy-checkpointed intermediates, single chain action + one metric
+    // read) amortizes the per-sweep submission overhead; values and the
+    // detected convergence sweep are identical to the plain loop.
+    def changedAgg(next: DataFrame): DataFrame =
+      next.agg(sum(when(col("changed"), 1L).otherwise(0L)).as("m"))
 
     // Every level gets a bounded sweep budget, then contracts and recurses
     // until its contraction converges — min-label propagation moves one hop
@@ -71,9 +77,10 @@ object ConnectedComponents {
     // crawler traps). Contraction shrinks the graph geometrically whenever
     // any label changed, so the recursion depth stays O(log diameter).
     val maxThisLevel = math.max(cfg.coarsenAfter, 2)
-    val res = IterationDriver.run(spark, init, step, changedCount,
+    val res = IterationDriver.runFused(spark, init, step, changedAgg,
       IterConfig(tol = 0.0, maxIter = maxThisLevel,
-        checkpointDir = cfg.checkpointDir.map(d => s"$d/level=$depth")))
+        checkpointDir = cfg.checkpointDir.map(d => s"$d/level=$depth")),
+      unroll = 4)
 
     val labels0 = res.state.select("id", "label")
     val converged = res.history.lastOption.forall(_.metric == 0.0)

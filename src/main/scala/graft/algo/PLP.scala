@@ -140,15 +140,20 @@ object PLP {
 
     // a full round = red + black sweep; stop when the round's total updates
     // fall to the reference's threshold (PLP.cpp:41-43 stop rule shape)
-    def updatedCount(prev: DataFrame, next: DataFrame): Double =
-      next.agg(sum(when(col("changed") || col("prev_changed"), 1L).otherwise(0L)))
-        .head().getLong(0).toDouble
+    // next-only metric → fused unrolled driver (IterationDriver.runFused):
+    // red+black sweep pairs compose into one chain job with a single metric
+    // read, amortizing per-sweep submission overhead; the detected stop
+    // sweep and every label are identical to the plain loop.
+    def updatedAgg(next: DataFrame): DataFrame =
+      next.agg(sum(when(col("changed") || col("prev_changed"), 1L)
+        .otherwise(0L)).as("m"))
 
-    val res = IterationDriver.run(spark,
+    val res = IterationDriver.runFused(spark,
       init.withColumn("changed", lit(true)).withColumn("prev_changed", lit(true)),
-      step, updatedCount,
+      step, updatedAgg,
       IterConfig(tol = threshold, maxIter = cfg.maxIter,
-        checkpointDir = cfg.checkpointDir))
+        checkpointDir = cfg.checkpointDir),
+      unroll = 4)
 
     sym.unpersist(); nodes.unpersist()
     Result(res.state.select("id", "label"), res.iterations, res.history)

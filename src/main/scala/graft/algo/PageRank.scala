@@ -32,13 +32,29 @@ import graft.iterate.{IterConfig, IterationDriver, IterResult}
   */
 object PageRank {
 
+  /** Default iteration-unroll factor (see `Config.unroll`); measured best
+    * at bench scale via the SPARK_GRAFT_PR_UNROLL A/B.
+    */
+  val defaultUnroll: Int =
+    sys.env.get("SPARK_GRAFT_PR_UNROLL").map(_.toInt).getOrElse(4)
+
   final case class Config(
       damping: Double = 0.85,
       tol: Double = 1e-9,
       maxIter: Int = 500,
       checkpointDir: Option[String] = None,
       shufflePartitions: Int = 0,
-      checkpointEvery: Int = 5)
+      checkpointEvery: Int = 5,
+      /** iterations composed into one Spark job (IterationDriver.runFused):
+        * each hop is lazily local-checkpointed and all hop L2 scalars ride a
+        * single action, amortizing the per-iteration job-submission +
+        * convergence-read overhead (~half the per-iteration wall at bench
+        * scale). Values are hop-for-hop identical to unroll=1, convergence
+        * is detected at the exact same iteration, and disk-checkpoint /
+        * resume layouts are unchanged (groups clamp at snapshot
+        * boundaries). SPARK_GRAFT_PR_UNROLL overrides for measurement.
+        */
+      unroll: Int = PageRank.defaultUnroll)
 
   final case class Result(scores: DataFrame, iterations: Int,
                           history: Vector[graft.iterate.IterRecord],
@@ -124,8 +140,15 @@ object PageRank {
       math.sqrt(next.agg(sum(pow(col("score") - col("prev"), 2)).as("s"))
         .head().getDouble(0))
 
-    val res: IterResult = IterationDriver.run(spark, init, step, l2diff,
-      IterConfig(cfg.tol, cfg.maxIter, cfg.checkpointDir, cfg.checkpointEvery))
+    val iterCfg =
+      IterConfig(cfg.tol, cfg.maxIter, cfg.checkpointDir, cfg.checkpointEvery)
+    val res: IterResult =
+      if (cfg.unroll > 1)
+        IterationDriver.runFused(spark, init, step,
+          next => next.agg(
+            sqrt(sum(pow(col("score") - col("prev"), 2))).as("m")),
+          iterCfg, cfg.unroll)
+      else IterationDriver.run(spark, init, step, l2diff, iterCfg)
 
     val l1 = res.state.agg(sum(abs(col("score")))).head().getDouble(0)
     val scores = res.state.select(col("id"), (col("score") / l1).as("score"))

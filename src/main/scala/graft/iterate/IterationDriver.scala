@@ -162,4 +162,126 @@ object IterationDriver {
     }
     IterResult(state, iter - startIter, history, startIter)
   }
+
+  /** Unrolled variant of `run`: composes up to `unroll` steps into ONE
+    * Spark job per loop pass, for operators whose convergence metric is a
+    * 1-row aggregate over the NEW state alone (`metricAgg(next)` → a single
+    * double column; PageRank embeds `prev` in the state for exactly this).
+    *
+    * Why: at sandbox bench scale the per-iteration wall is roughly half
+    * fixed driver overhead — one job round-trip to materialize the state
+    * (eager localCheckpoint) plus one to read the convergence scalar. This
+    * loop lazily local-checkpoints each intermediate hop (plan truncates to
+    * a flat `LogicalRDD` immediately; the data materializes and caches when
+    * the enclosing job first computes through it — the kcore
+    * sweep-unrolling mechanism), eagerly checkpoints only the LAST hop (the
+    * group's one chain job; every intermediate hop has exactly one consumer
+    * stage inside it, so nothing is computed twice), then reads all k
+    * convergence scalars from the cached states in one cheap second action:
+    * k materializations + k metrics ride two job submissions instead of 2k.
+    *
+    * Exactness is preserved hop-for-hop: each hop's values are identical to
+    * the un-unrolled loop (lazy checkpoint changes scheduling, not data),
+    * and convergence is detected at the FIRST hop whose metric ≤ tol — the
+    * reported iteration count and returned state match `run` exactly; hops
+    * computed past convergence inside the final group are freed, never
+    * observed. Groups never cross a disk-checkpoint boundary (the group is
+    * clamped so snapshots land exactly where `run` would put them), so
+    * resume manifests are interchangeable between the two loops; with
+    * `checkpointEvery = 1` (the production preset) the group size degrades
+    * to 1 ≡ `run`. Per-hop manifest records carry the group wall divided
+    * evenly across its hops — the amortized per-iteration figure.
+    */
+  def runFused(spark: SparkSession, init: => DataFrame,
+          step: (DataFrame, Int) => DataFrame,
+          metricAgg: DataFrame => DataFrame,
+          cfg: IterConfig, unroll: Int): IterResult = {
+    require(unroll >= 1, s"unroll must be >= 1, got $unroll")
+    graft.core.Sessions.withoutAqe(spark)(
+      runLoopFused(spark, init, step, metricAgg, cfg, unroll))
+  }
+
+  private def runLoopFused(spark: SparkSession, init: => DataFrame,
+          step: (DataFrame, Int) => DataFrame,
+          metricAgg: DataFrame => DataFrame,
+          cfg: IterConfig, unroll: Int): IterResult = {
+    import org.apache.spark.sql.functions.{col, lit}
+
+    val resumed = cfg.checkpointDir.flatMap(latestSnapshot(spark, _))
+    val startIter = resumed.map(_._1).getOrElse(0)
+    var state = resumed.map(_._2).getOrElse(init).transform(graft.core.Materialize.checkpoint)
+    var history = Vector.empty[IterRecord]
+
+    var iter = startIter
+    var converged = false
+    while (!converged && iter < cfg.maxIter) {
+      val t0 = System.nanoTime()
+      // hops until the next disk-checkpoint boundary: snapshots must land
+      // at exactly the iterations `run` would snapshot, so a group never
+      // crosses a multiple of checkpointEvery.
+      val toBoundary = cfg.checkpointDir
+        .map(_ => cfg.checkpointEvery - (iter % cfg.checkpointEvery))
+        .getOrElse(Int.MaxValue)
+      val k = math.max(1, math.min(math.min(unroll, cfg.maxIter - iter), toBoundary))
+
+      val hops = new scala.collection.mutable.ArrayBuffer[DataFrame](k)
+      var s = state
+      for (j <- 1 to k) {
+        // intermediate hops: LAZY checkpoint (plan truncates now, data
+        // caches when the chain job computes through them — each has
+        // exactly ONE consumer stage inside that job, so nothing is
+        // computed twice); final hop: EAGER — its materialization is the
+        // one chain job of the group.
+        val hop = step(s, iter + j)
+        s =
+          if (j < k) hop.transform(graft.core.Materialize.checkpointLazy)
+          else hop.transform(graft.core.Materialize.checkpoint)
+        hops += s
+      }
+      // second (cheap) action: every hop's 1-row metric, all reading the
+      // now-cached hop states.
+      val mrows = hops.zipWithIndex.map { case (h, j) =>
+        val agg = metricAgg(h)
+        agg.select(lit(j).as("_hop"), col(agg.columns.head).cast("double").as("_m"))
+      }.reduce(_ unionByName _).collect()
+      val ms: Array[Double] = {
+        // a null aggregate (empty state) reads as 0.0 = converged, matching
+        // the plain loop's count/sum-over-empty behavior
+        val byHop = mrows.map(r =>
+          r.getInt(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
+        Array.tabulate(k)(byHop)
+      }
+
+      val hitIdx = ms.indexWhere(_ <= cfg.tol)
+      converged = hitIdx >= 0
+      val used = if (converged) hitIdx + 1 else k
+      // overshoot hops inside the final group were computed but are never
+      // observed — free and forget them
+      for (j <- used until k) graft.core.Materialize.free(hops(j))
+
+      var next = hops(used - 1)
+      val doCheckpoint = cfg.checkpointDir.isDefined &&
+        (converged || (iter + used) % cfg.checkpointEvery == 0)
+      var snapshot = ""
+      if (doCheckpoint) {
+        val dir = cfg.checkpointDir.get
+        snapshot = s"$dir/state/iter=${"%05d".format(iter + used)}"
+        next.write.mode("overwrite").parquet(snapshot)
+        graft.core.Materialize.free(next)
+        next = spark.read.parquet(snapshot).transform(graft.core.Materialize.checkpoint)
+      }
+      for (j <- 0 until used - 1) graft.core.Materialize.free(hops(j))
+      freeCheckpointed(state)
+      val groupWall = (System.nanoTime() - t0) / 1000000
+      for (j <- 0 until used) {
+        val rec = IterRecord(iter + j + 1, ms(j), groupWall / used, -1L,
+          if (j == used - 1) snapshot else "")
+        history :+= rec
+        cfg.checkpointDir.foreach(appendManifest(_, rec))
+      }
+      iter += used
+      state = next
+    }
+    IterResult(state, iter - startIter, history, startIter)
+  }
 }
