@@ -13,6 +13,13 @@ import graft.iterate.{IterConfig, IterationDriver}
   */
 object SSSP {
 
+  /** Relax-round unroll factor for the fused weighted-SSSP loop;
+    * env-overridable for A/B and plain-loop-fallback debugging
+    * (`SPARK_GRAFT_SSSP_UNROLL=1`), mirroring SPARK_GRAFT_PR_UNROLL.
+    */
+  val defaultUnroll: Int =
+    graft.iterate.IterationDriver.envUnroll("SPARK_GRAFT_SSSP_UNROLL", 4)
+
   /** Multi-source BFS: `sources(id)` → `(source, id, dist)` hop counts for
     * all reachable nodes. One frontier join per level; all sources advance
     * in the same jobs (batching amortizes per-iteration overhead — this is
@@ -126,11 +133,16 @@ object SSSP {
           (col("prop").isNotNull && col("prop") < col("dist")).as("changed"))
     }
 
-    def changed(prev: DataFrame, next: DataFrame): Double =
-      next.where(col("changed")).count().toDouble
+    // next-only metric → fused unrolled driver (IterationDriver.runFused):
+    // relax rounds compose into one chain job with a single metric read.
+    // Weighted SSSP's worst case is exactly where this pays most — a
+    // high-diameter graph needs one relax round per hop, and the plain
+    // loop's 2 driver round-trips per round are the dominant fixed cost.
+    def changedAgg(next: DataFrame): DataFrame =
+      next.agg(sum(when(col("changed"), 1L).otherwise(0L)).as("m"))
 
-    val res = IterationDriver.run(spark, init, step, changed,
-      IterConfig(tol = 0.0, maxIter = maxIter))
+    val res = IterationDriver.runFused(spark, init, step, changedAgg,
+      IterConfig(tol = 0.0, maxIter = maxIter), unroll = SSSP.defaultUnroll)
     adj.unpersist()
     res.state.where(!col("dist").isNaN && col("dist") =!= Double.PositiveInfinity)
       .select("id", "dist")

@@ -12,6 +12,14 @@ import graft.iterate.{IterConfig, IterationDriver}
   */
 object Centrality {
 
+  /** Iteration-unroll factor for the fused power-iteration loops
+    * (eigenvector, Katz); env-overridable for A/B and plain-loop-fallback
+    * debugging (`SPARK_GRAFT_POWER_UNROLL=1`), mirroring
+    * SPARK_GRAFT_PR_UNROLL.
+    */
+  val powerUnroll: Int =
+    graft.iterate.IterationDriver.envUnroll("SPARK_GRAFT_POWER_UNROLL", 4)
+
   /** Degree centrality (`centrality/DegreeCentrality.cpp`): out-degree per
     * node, optionally normalized by (n-1). Pass the symmetrized view for
     * undirected semantics.
@@ -32,6 +40,14 @@ object Centrality {
   /** Eigenvector centrality (`centrality/EigenvectorCentrality.cpp`): power
     * iteration `x' = A·x`, 2-norm normalized each step, L2 stop (tol 1e-9
     * default like the reference).
+    *
+    * The per-step 2-norm is computed IN the dataflow — a 1-row ungrouped
+    * aggregate equi-joined back on a constant key (a BroadcastHashJoin of a
+    * 1-row side, not a cartesian) — and the previous score rides the state,
+    * so the whole step is declarative with a next-only metric and the loop
+    * runs through the fused unrolled driver like PageRank. Values are
+    * hop-for-hop identical to the driver-side-norm formulation (same sum
+    * expression, same Math.sqrt, same zero-norm guard).
     */
   def eigenvector(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
                   tol: Double = 1e-9, maxIter: Int = 500): DataFrame = {
@@ -40,48 +56,59 @@ object Centrality {
       .repartition(parts, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
-    val init = nodes.select(col("id"), lit(1.0 / math.sqrt(n.toDouble)).as("score"))
+    val init = nodes.select(col("id"),
+      lit(1.0 / math.sqrt(n.toDouble)).as("score"), lit(0.0).as("prev"))
 
     def step(state: DataFrame, iter: Int): DataFrame = {
       // x'[u] = Σ_{(v,u)} w(v,u)·x[v]  (gather over in-edges)
-      val raw = adj.join(state.withColumnRenamed("id", "src"), "src")
+      val raw = adj.join(state.select(col("id").as("src"), col("score")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("weight") * col("score")).as("s"))
-      val full = nodes.join(raw, Seq("id"), "left")
-        .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
-      val norm = math.sqrt(full.agg(sum(col("s") * col("s"))).head().getDouble(0))
-      full.select(col("id"), (col("s") / (if (norm == 0.0) 1.0 else norm)).as("score"))
+      val full = state.select(col("id"), col("score").as("prev"))
+        .join(raw, Seq("id"), "left")
+        .select(col("id"), col("prev"), coalesce(col("s"), lit(0.0)).as("s"))
+        .withColumn("k", lit(1))
+      val nrm = full.groupBy("k").agg(sqrt(sum(col("s") * col("s"))).as("nrm"))
+      full.join(broadcast(nrm), "k")
+        .select(col("id"),
+          (col("s") / when(col("nrm") === 0.0, 1.0).otherwise(col("nrm")))
+            .as("score"),
+          col("prev"))
     }
 
-    def l2(prev: DataFrame, next: DataFrame): Double =
-      math.sqrt(prev.withColumnRenamed("score", "p").join(next, "id")
-        .agg(sum(pow(col("score") - col("p"), 2))).head().getDouble(0))
+    def l2Agg(next: DataFrame): DataFrame =
+      next.agg(sqrt(sum(pow(col("score") - col("prev"), 2))).as("m"))
 
-    val res = IterationDriver.run(spark, init, step, l2,
-      IterConfig(tol, maxIter))
+    val res = IterationDriver.runFused(spark, init, step, l2Agg,
+      IterConfig(tol, maxIter), unroll = Centrality.powerUnroll)
     adj.unpersist()
-    res.state
+    res.state.select("id", "score")
   }
 
   /** Katz centrality (`centrality/KatzCentrality.cpp`): iterate
-    * `x' = α·Aᵀx + β` to fixpoint, report L2-normalized scores.
+    * `x' = α·Aᵀx + β` to fixpoint, report L2-normalized scores. The
+    * previous score rides the state (PageRank's `prev` trick) so the L2
+    * stop is a next-only aggregate and the loop fuses.
     */
   def katz(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
            alpha: Double = 0.1, beta: Double = 1.0,
            tol: Double = 1e-9, maxIter: Int = 500): DataFrame = {
-    val init = nodes.select(col("id"), lit(0.0).as("score"))
+    val init = nodes.select(col("id"), lit(0.0).as("score"),
+      lit(0.0).as("prev"))
     def step(state: DataFrame, iter: Int): DataFrame = {
-      val raw = edges.join(state.withColumnRenamed("id", "src"), "src")
+      val raw = edges.join(state.select(col("id").as("src"), col("score")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("weight") * col("score")).as("s"))
-      nodes.join(raw, Seq("id"), "left")
+      state.select(col("id"), col("score").as("prev"))
+        .join(raw, Seq("id"), "left")
         .select(col("id"),
-          (lit(alpha) * coalesce(col("s"), lit(0.0)) + lit(beta)).as("score"))
+          (lit(alpha) * coalesce(col("s"), lit(0.0)) + lit(beta)).as("score"),
+          col("prev"))
     }
-    def l2(prev: DataFrame, next: DataFrame): Double =
-      math.sqrt(prev.withColumnRenamed("score", "p").join(next, "id")
-        .agg(sum(pow(col("score") - col("p"), 2))).head().getDouble(0))
-    val res = IterationDriver.run(spark, init, step, l2, IterConfig(tol, maxIter))
+    def l2Agg(next: DataFrame): DataFrame =
+      next.agg(sqrt(sum(pow(col("score") - col("prev"), 2))).as("m"))
+    val res = IterationDriver.runFused(spark, init, step, l2Agg,
+      IterConfig(tol, maxIter), unroll = Centrality.powerUnroll)
     val norm = math.sqrt(res.state.agg(sum(col("score") * col("score")))
       .head().getDouble(0))
     res.state.select(col("id"), (col("score") / norm).as("score"))
@@ -191,7 +218,16 @@ object Centrality {
     * below the threshold. The Spark shape is the classic peel loop —
     * each round is a degree filter + semi-join shrink of the live subgraph.
     */
-  def coreDecomposition(spark: SparkSession, edges: DataFrame): DataFrame = {
+  /** @param compactAt tail-compaction trigger: when the changed-node count
+    *                   drops to ≤ this, the edge caches are re-persisted
+    *                   filtered to a 2-hop ball around the changed set (see
+    *                   the region-compaction block below). `-1` = auto
+    *                   (n/100; `SPARK_GRAFT_KCORE_COMPACT=0` disables for
+    *                   A/B), `0` = never, `Long.MaxValue` = from sweep 1
+    *                   (test hook for the escape/rollback path).
+    */
+  def coreDecomposition(spark: SparkSession, edges: DataFrame,
+                        compactAt: Long = -1L): DataFrame = {
     // H-index fixpoint (Lü/Chen/Ren/Zhang 2016, "The H-index of a network
     // node"): init c(v) = deg(v); sweep c(v) ← H({c(u) : u ∈ N(v)}). The
     // sequence is monotonically non-increasing and its fixpoint is EXACTLY
@@ -224,27 +260,36 @@ object Centrality {
     val nNodes = changed
     def buildSide(df: DataFrame): DataFrame =
       graft.core.GraphOps.hashBuildHint(df, nNodes, kparts)
-    // One H-index hop: the exact sweep body, composable (input/output both
-    // carry (id, c, changed); no action, no materialization).
+    // One H-index hop, split into reusable pieces so the tail-compacted
+    // variant below can share the exact body: `applyH` folds a computed
+    // H-index table back into the state; `hIndexOf` computes it for an
+    // affected set against a given (possibly compacted) dst-keyed cache.
+    def hIndexOf(affected: DataFrame, dstCache: DataFrame,
+                 st: DataFrame): DataFrame = {
+      val hist = dstCache
+        .join(buildSide(affected), Seq("dst"), "left_semi")
+        .join(buildSide(st.select(col("id").as("src"), col("c"))), "src")
+        .groupBy(col("dst").as("id"), col("c")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("c").desc)
+      hist.withColumn("cum", sum("cnt").over(w))
+        .groupBy("id").agg(max(least(col("c"), col("cum"))).as("h"))
+    }
+    def applyH(st: DataFrame, h: DataFrame): DataFrame =
+      st.select("id", "c")
+        .join(buildSide(h), Seq("id"), "left")
+        .select(col("id"),
+          least(col("c"), coalesce(col("h"), col("c"))).as("c"),
+          (coalesce(col("h"), col("c")) < col("c")).as("changed"))
+    // the exact sweep body, composable (input/output both carry
+    // (id, c, changed); no action, no materialization).
     def sweepOnce(st: DataFrame): DataFrame = {
       // nodes with ≥1 changed neighbor — their H-index may have dropped
       val changedSrc = st.where(col("changed")).select(col("id").as("src"))
       val affected = symBySrc
         .join(buildSide(changedSrc), Seq("src"), "left_semi")
         .select("dst").distinct()
-      val hist = symByDst
-        .join(buildSide(affected), Seq("dst"), "left_semi")
-        .join(buildSide(st.select(col("id").as("src"), col("c"))), "src")
-        .groupBy(col("dst").as("id"), col("c")).agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy(col("c").desc)
-      val h = hist.withColumn("cum", sum("cnt").over(w))
-        .groupBy("id").agg(max(least(col("c"), col("cum"))).as("h"))
-      st.select("id", "c")
-        .join(buildSide(h), Seq("id"), "left")
-        .select(col("id"),
-          least(col("c"), coalesce(col("h"), col("c"))).as("c"),
-          (coalesce(col("h"), col("c")) < col("c")).as("changed"))
+      applyH(st, hIndexOf(affected, symByDst, st))
     }
     // Sweep-unrolling: once the active set is small, the per-sweep cost is
     // dominated by fixed job overhead (localCheckpoint rewrite of the full
@@ -258,34 +303,225 @@ object Centrality {
     // plain persist() shares execution but doubles the plan tree per hop
     // (measured 6 MB plan strings by hop 4). Overshoot past the fixpoint is
     // harmless and cheap: a converged hop propagates an empty frontier.
+    // ---- Tail region-compaction (round-5; A/B in BASELINE.md) ----
+    // In the tail the sweeps move a few hundred nodes yet every hop still
+    // scans the full 2×m-row symBySrc/symByDst caches (the semi-join probe
+    // cost is the scan, not the match count). Once the changed set is small
+    // (≤ compactAt), re-persist BOTH caches filtered to edges incident to a
+    // 2-hop ball `region` around the changed set — a ONE-time pair of full
+    // scans — and run subsequent sweeps on the compact caches.
+    //
+    // Soundness (the cascade is value-gated and can in principle travel
+    // arbitrarily far, so a static filter alone would be silently wrong on
+    // chain-shaped graphs): a sweep on the compact caches is EXACT as long
+    // as (a) the changed set ⊆ region — then every out-edge of a changed
+    // node is present, so the computed affected set is the true one — and
+    // (b) affected ⊆ region — then every in-edge of every affected node is
+    // present, so the H-index histograms are complete. (a) holds
+    // inductively (new changed ⊆ affected); (b) is CHECKED per hop: each
+    // hop also derives `escaped = affected \ region`, and all hop escape
+    // counts ride the group's single metric action. An escaping hop's
+    // output is discarded (its histograms may be incomplete), the loop
+    // rolls back to the last valid hop and rebuilds the region there. A
+    // rebuilt 2-hop ball guarantees the next TWO hops cannot escape
+    // (affected after j sweeps ⊆ ball_j), so rollback always makes
+    // progress. A ball that blows past nNodes/16 (hub adjacency) bails
+    // back to full-cache mode with a 4× back-off on the trigger.
+    val compactThreshold: Long =
+      if (compactAt >= 0L) compactAt
+      else if (sys.env.get("SPARK_GRAFT_KCORE_COMPACT").contains("0")) 0L
+      else nNodes / 100
+    var retryBelow = compactThreshold
+    var region: Option[DataFrame] = None
+    var cSrc: DataFrame = null
+    var cDst: DataFrame = null
+    def freeCompact(): Unit = region.foreach { r =>
+      graft.core.Materialize.free(r)
+      graft.core.Materialize.free(cSrc)
+      graft.core.Materialize.free(cDst)
+      region = None
+    }
+    // A radius-r ball guarantees r escape-free sweeps (affected after j
+    // sweeps ⊆ ball_j); each expansion hop costs one full symBySrc scan, so
+    // TRAVELING cascades (crawler-trap chains: the frontier moves one hop
+    // per sweep) amortize rebuilds better with a larger radius — (r+2)
+    // scans buy ≥ r sweeps. The radius doubles on consecutive
+    // escape-rebuilds (cap 8) and resets after an escape-free group.
+    // Every compaction product (ball levels, region, cSrc, cDst) is an
+    // EAGER localCheckpoint, not a persist: these objects outlive the state
+    // generation they were derived from, and a persisted DataFrame keeps
+    // its full lineage — any later cache-miss recompute would read a
+    // since-freed state's checkpoint blocks and die with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Checkpointing snapshots the data
+    // into self-contained blocks with flat lineage; nothing in compact
+    // mode can recompute through a freed ancestor.
+    def tryCompact(st: DataFrame, changedNow: Long, radius: Int): Unit = {
+      freeCompact()
+      // floor 64: on small graphs n/16 would reject even a trivial region
+      val cap = math.max(nNodes / 16, 64L)
+      var ball = graft.core.Materialize.checkpoint(
+        st.where(col("changed")).select("id"))
+      var r = 0
+      var ballN = changedNow
+      var bailed = false
+      while (r < radius && !bailed) {
+        val next = graft.core.Materialize.checkpoint(
+          ball.unionByName(
+              symBySrc.join(ball.select(col("id").as("src")).hint("broadcast"),
+                  Seq("src"), "left_semi")
+                .select(col("dst").as("id")))
+            .distinct())
+        ballN = next.count()
+        graft.core.Materialize.free(ball)
+        ball = next
+        bailed = ballN > cap // hub blow-up: compaction not worth it here
+        r += 1
+      }
+      if (bailed) {
+        graft.core.Materialize.free(ball)
+        retryBelow = changedNow / 4
+        if (verbose) System.err.println(
+          s"[kcore] compaction bailed: ball_$r=$ballN > $cap; retry at $retryBelow")
+        return
+      }
+      cSrc = graft.core.Materialize.checkpoint(
+        symBySrc
+          .join(ball.select(col("id").as("src")).hint("broadcast"),
+            Seq("src"), "left_semi")
+          .repartition(col("src")))
+      cDst = graft.core.Materialize.checkpoint(
+        symByDst
+          .join(ball.select(col("id").as("dst")).hint("broadcast"),
+            Seq("dst"), "left_semi")
+          .repartition(col("dst")))
+      val ce = cSrc.count()
+      region = Some(ball)
+      if (verbose) System.err.println(
+        s"[kcore] compacted: region=$ballN nodes (radius $radius), " +
+          s"$ce directed edges (changed=$changedNow)")
+    }
+    // compact-mode hop: same body as sweepOnce over the compact caches,
+    // plus the escape check. The affected expression is deliberately built
+    // TWICE (histogram branch inside the chain job, escape branch inside
+    // the metric action) instead of shared via a lazy checkpoint: a hop
+    // past convergence has an empty changed set, AQE's empty-relation
+    // propagation then prunes the affected subtree out of the chain job's
+    // plan entirely, and a shared lazy checkpoint would leave the metric
+    // action reading never-materialized checkpoint blocks. Recomputing is a
+    // scan of the COMPACT cache — cheap by construction.
+    def sweepOnceCompact(st: DataFrame): (DataFrame, DataFrame) = {
+      def affected = {
+        val changedSrc = st.where(col("changed")).select(col("id").as("src"))
+        cSrc.join(buildSide(changedSrc), Seq("src"), "left_semi")
+          .select("dst").distinct()
+      }
+      val escaped = affected.join(
+        region.get.select(col("id").as("dst")).hint("broadcast"),
+        Seq("dst"), "left_anti")
+      (applyH(st, hIndexOf(affected, cDst, st)), escaped)
+    }
+
     val hopCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var sweep = 0
+    // Radius doubles on each escape-rebuild (a traveling cascade needs the
+    // bigger ball: r+2 scans buy ≥ r sweeps) and resets only after 4
+    // consecutive escape-free groups — resetting on the FIRST quiet group
+    // oscillates 2↔4 with an immediate hop-0 escape per cycle when the
+    // cascade travels steadily (observed on path-graph drains).
+    var rebuildRadius = 2
+    var quietGroups = 0
     while (changed > 0) {
       val t0 = System.nanoTime()
+      if (region.isEmpty && changed <= retryBelow)
+        tryCompact(state, changed, rebuildRadius)
       val hops =
         if (changed <= math.max(nNodes / 500, 8L)) 4
         else if (changed <= math.max(nNodes / 50, 64L)) 2
         else 1
-      var cur = state
-      var i = 0
-      while (i < hops) {
-        cur = sweepOnce(cur)
-        if (i < hops - 1) {
-          cur = graft.core.Materialize.checkpointLazy(cur)
-          hopCaches += cur
+      if (region.isDefined) graft.core.Sessions.withoutAqe(spark) {
+        // Unrolled group over the compact caches, with per-hop escape
+        // accounting folded into the single group action. AQE is OFF for
+        // the group (restored after): the metric action reads every
+        // intermediate lazily-checkpointed hop state back, and under AQE
+        // the chain job materializes its query stages as separate jobs, so
+        // the final job's doCheckpoint recursion does not reliably reach
+        // the marked intermediate RDDs — the metric then reads
+        // never-materialized checkpoint blocks (the same reason
+        // IterationDriver.runFused runs AQE-off). The full-cache branch
+        // below never reads intermediates back and keeps AQE.
+        val states = new scala.collection.mutable.ArrayBuffer[DataFrame](hops)
+        val escapes = new scala.collection.mutable.ArrayBuffer[DataFrame](hops)
+        var cur = state
+        var i = 0
+        while (i < hops) {
+          val (nxt, esc) = sweepOnceCompact(cur)
+          cur =
+            if (i < hops - 1) graft.core.Materialize.checkpointLazy(nxt)
+            else graft.core.Materialize.checkpoint(nxt)
+          states += cur; escapes += esc
+          i += 1
         }
-        i += 1
+        // one action: per-hop changed count (kind 0) + escape count (kind 1)
+        val collected = (states.zipWithIndex.map { case (s, j) =>
+          s.agg(sum(when(col("changed"), 1L).otherwise(0L)).as("v"))
+            .select(lit(j).as("hop"), lit(0).as("kind"),
+              coalesce(col("v"), lit(0L)).as("v"))
+        } ++ escapes.zipWithIndex.map { case (e, j) =>
+          e.agg(count(lit(1)).as("v"))
+            .select(lit(j).as("hop"), lit(1).as("kind"), col("v").as("v"))
+        }).reduce(_ unionByName _).collect()
+        val mByHop = collected.filter(_.getInt(1) == 0)
+          .map(r => r.getInt(0) -> r.getLong(2)).toMap
+        val escByHop = collected.filter(_.getInt(1) == 1)
+          .map(r => r.getInt(0) -> r.getLong(2)).toMap
+        val firstEsc = (0 until hops).find(j => escByHop(j) > 0)
+        val valid = firstEsc.getOrElse(hops)
+        for (j <- valid until hops) graft.core.Materialize.free(states(j))
+        if (valid > 0) {
+          for (j <- 0 until valid - 1) graft.core.Materialize.free(states(j))
+          graft.core.Materialize.free(state)
+          state = states(valid - 1)
+          changed = mByHop(valid - 1)
+          sweep += valid
+        }
+        hopCaches.foreach(graft.core.Materialize.free)
+        hopCaches.clear()
+        if (firstEsc.isDefined) {
+          if (verbose) System.err.println(
+            s"[kcore] escape at group hop ${firstEsc.get} " +
+              s"(${escByHop(firstEsc.get)} nodes); rebuilding region")
+          quietGroups = 0
+          if (changed > 0) {
+            rebuildRadius = math.min(rebuildRadius * 2, 8)
+            tryCompact(state, changed, rebuildRadius)
+          }
+        } else {
+          quietGroups += 1
+          if (quietGroups >= 4) rebuildRadius = 2
+        }
+      } else {
+        var cur = state
+        var i = 0
+        while (i < hops) {
+          cur = sweepOnce(cur)
+          if (i < hops - 1) {
+            cur = graft.core.Materialize.checkpointLazy(cur)
+            hopCaches += cur
+          }
+          i += 1
+        }
+        val next = graft.core.Materialize.checkpoint(cur)
+        changed = next.where(col("changed")).count()
+        hopCaches.foreach(graft.core.Materialize.free)
+        hopCaches.clear()
+        graft.core.Materialize.free(state)
+        state = next
+        sweep += hops
       }
-      val next = graft.core.Materialize.checkpoint(cur)
-      changed = next.where(col("changed")).count()
-      hopCaches.foreach(graft.core.Materialize.free)
-      hopCaches.clear()
-      graft.core.Materialize.free(state)
-      state = next
-      sweep += hops
       if (verbose) System.err.println(
         f"[kcore] sweep $sweep (x$hops) changed=$changed ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
+    freeCompact()
     symBySrc.unpersist(blocking = false)
     symByDst.unpersist(blocking = false)
     state.select(col("id"), col("c").as("coreness"))

@@ -29,6 +29,13 @@ import graft.iterate.{IterConfig, IterationDriver}
   */
 object ConnectedComponents {
 
+  /** Sweep-unroll factor for the fused hash-min loop; env-overridable for
+    * A/B and plain-loop-fallback debugging (`SPARK_GRAFT_CC_UNROLL=1`),
+    * mirroring PageRank's SPARK_GRAFT_PR_UNROLL knob.
+    */
+  val defaultUnroll: Int =
+    IterationDriver.envUnroll("SPARK_GRAFT_CC_UNROLL", 4)
+
   final case class Config(
       maxIter: Int = 100,
       coarsenAfter: Int = 8,
@@ -80,7 +87,7 @@ object ConnectedComponents {
     val res = IterationDriver.runFused(spark, init, step, changedAgg,
       IterConfig(tol = 0.0, maxIter = maxThisLevel,
         checkpointDir = cfg.checkpointDir.map(d => s"$d/level=$depth")),
-      unroll = 4)
+      unroll = ConnectedComponents.defaultUnroll)
 
     val labels0 = res.state.select("id", "label")
     val converged = res.history.lastOption.forall(_.metric == 0.0)

@@ -89,17 +89,26 @@ object PLM {
     val prevSameParity = Array(Long.MaxValue, Long.MaxValue)
     var plateau = false
     val verbose = sys.env.contains("SPARK_GRAFT_PLM_VERBOSE")
-    while ((moved > 0 || !cfg.stopEarly) && !plateau && pass < cfg.maxMovePasses) {
-      pass += 1
-      val t0 = System.nanoTime()
-      val parity = pass % 2
+
+    // One pass's full candidate/argmax pipeline as a plan (no action, no
+    // materialization) so red+black pass PAIRS can compose into one chain
+    // job (SPARK_GRAFT_PLM_FUSE=0 for the plain per-pass loop). The input
+    // state's `changed` flag (when present) is carried through as
+    // `prev_changed`, so a fused pair reads BOTH passes' move counts from
+    // the final state alone — intermediates are never read back by a
+    // driver action (required under AQE: stage-wise materialization does
+    // not reliably run doCheckpoint for lazily-checkpointed intermediates,
+    // so their blocks may not exist after the chain job).
+    def passPlan(stIn: DataFrame, passNo: Int): DataFrame = {
+      val labelsP = stIn.select("id", "label")
+      val parity = passNo % 2
       // NOT checkpointed although referenced twice below (cvolD and cvolC
       // sides): it is a node-scale aggregate with shallow lineage (both
       // parents are checkpointed), so evaluating it twice inside the one
       // newLabels job is cheaper than a separate materialization action
       // per pass (measured: the extra action dominates coarse levels,
       // where the per-pass floor is fixed job overhead, not data).
-      val comVol = labels.join(vol, "id")
+      val comVol = labelsP.join(vol, "id")
         .groupBy("label").agg(sum("vol").as("cvol"))
       // affinities of updating nodes to neighbor communities. The
       // candidate-community volume (cvolD) is attached to the LABEL table
@@ -115,13 +124,13 @@ object PLM {
       // group), so the fixed-schedule oracle is unaffected; the saved
       // edge-scale exchange + agg is the single largest pass-1 cost.
       val aff =
-        if (pass == 1)
+        if (passNo == 1)
           nbrs.where(pmod(col("dst"), lit(2)) === parity)
             .join(vol.select(col("id").as("src"), col("vol").as("cvolD")), "src")
             .select(col("dst").as("id"), col("src").as("nlabel"),
               col("weight").as("aff"), col("cvolD"))
         else nbrs
-          .join(labels.select(col("id").as("src"), col("label").as("nlabel"))
+          .join(labelsP.select(col("id").as("src"), col("label").as("nlabel"))
             .join(comVol.select(col("label").as("nlabel"),
               col("cvol").as("cvolD")), "nlabel"), "src")
           .where(pmod(col("dst"), lit(2)) === parity)
@@ -133,10 +142,10 @@ object PLM {
           .groupBy(col("dst").as("id"), col("nlabel"))
           .agg(sum("weight").as("aff"), max("cvolD").as("cvolD"))
       val cur =
-        if (pass == 1)
+        if (passNo == 1)
           vol.select(col("id"), col("id").as("clabel"), col("vol"),
             col("vol").as("cvolC"))
-        else labels.withColumnRenamed("label", "clabel")
+        else labelsP.withColumnRenamed("label", "clabel")
           .join(vol, "id")
           .join(comVol.select(col("label").as("clabel"), col("cvol").as("cvolC")), "clabel")
       // Per-row SCORE instead of the reference's per-row Δ: Δ(u, D) =
@@ -169,22 +178,85 @@ object PLM {
         .where(col("b.nlabel") =!= col("clabel") &&
           (col("b.score") - coalesce(col("affC"), lit(0.0)) / tw) > 1e-15)
         .select(col("id"), col("b.nlabel").as("winner"))
-      // changed-flag carried in the checkpointed state: the move count is a
-      // cheap scan of the materialized rows, not a second evaluation of the
-      // whole candidate/argmax pipeline (which previously doubled pass cost)
-      val newLabels = labels.join(best.select("id", "winner"), Seq("id"), "left")
+      // changed-flag carried in the state: the move count is a cheap scan
+      // of materialized rows, not a second evaluation of the whole
+      // candidate/argmax pipeline; prev_changed carries the INPUT state's
+      // flag forward for the fused pair's single count action
+      val prevChangedCol =
+        if (stIn.columns.contains("changed")) col("changed") else lit(false)
+      stIn.select(col("id"), col("label"), prevChangedCol.as("pci"))
+        .join(best.select("id", "winner"), Seq("id"), "left")
         .select(col("id"), coalesce(col("winner"), col("label")).as("label"),
-          col("winner").isNotNull.as("changed"))
-        .transform(graft.core.Materialize.checkpoint)
-      moved = newLabels.where(col("changed")).count()
-      if (cfg.stopEarly && moved.toDouble >= prevSameParity(parity) * 0.995)
+          col("winner").isNotNull.as("changed"),
+          col("pci").as("prev_changed"))
+    }
+
+    // Replay of the sequential per-pass stop decisions, shared by both loop
+    // flavors; `shouldContinue` gates each further pass (the fused pair
+    // re-evaluates it mid-group to discard an overshoot pass).
+    def recordPass(m: Long, parity: Int): Unit = {
+      moved = m
+      if (cfg.stopEarly && m.toDouble >= prevSameParity(parity) * 0.995)
         plateau = true
-      prevSameParity(parity) = moved
-      graft.core.Materialize.free(labelsCk)
-      labelsCk = newLabels
-      labels = newLabels.select("id", "label")
-      if (verbose) System.err.println(
-        f"[plm] pass $pass moved=$moved ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      prevSameParity(parity) = m
+    }
+    def shouldContinue: Boolean =
+      (moved > 0 || !cfg.stopEarly) && !plateau && pass < cfg.maxMovePasses
+
+    // system property first so the interleaved A/B runner can toggle
+    // within one JVM; env for driver-side runs
+    val fuse = !sys.props.get("graft.plm.fuse")
+      .orElse(sys.env.get("SPARK_GRAFT_PLM_FUSE")).contains("0")
+    while (shouldContinue) {
+      val t0 = System.nanoTime()
+      if (fuse && pass + 2 <= cfg.maxMovePasses) {
+        // red+black pair in ONE chain job: pass A lazily checkpointed
+        // (plan truncation; materializes inside the pair job where pass B
+        // reads it), pass B eager — then both move counts from one cheap
+        // aggregate over the final state. Values and stop decisions are
+        // pass-for-pass identical to the plain loop; if the sequential
+        // loop would have stopped after pass A, pass B's state is
+        // discarded unobserved (runFused's overshoot contract).
+        val s1 = graft.core.Materialize.checkpointLazy(passPlan(labelsCk, pass + 1))
+        val s2 = graft.core.Materialize.checkpoint(passPlan(s1, pass + 2))
+        val row = s2.agg(
+          sum(when(col("prev_changed"), 1L).otherwise(0L)).as("m1"),
+          sum(when(col("changed"), 1L).otherwise(0L)).as("m2")).head()
+        val (m1, m2) = (row.getLong(0), row.getLong(1))
+        pass += 1
+        recordPass(m1, pass % 2)
+        if (shouldContinue) {
+          pass += 1
+          recordPass(m2, pass % 2)
+          graft.core.Materialize.free(labelsCk)
+          graft.core.Materialize.free(s1)
+          labelsCk = s2
+        } else {
+          // overshoot: keep pass A's state; re-checkpoint it eagerly (its
+          // blocks are cached from the pair job, but only an eager
+          // checkpoint owns self-contained blocks we may hold long-term)
+          val s1e = graft.core.Materialize.checkpoint(
+            s1.select("id", "label", "changed", "prev_changed"))
+          graft.core.Materialize.free(labelsCk)
+          graft.core.Materialize.free(s2)
+          graft.core.Materialize.free(s1)
+          labelsCk = s1e
+        }
+        labels = labelsCk.select("id", "label")
+        if (verbose) System.err.println(
+          f"[plm] passes ${pass - 1}+ (fused pair) moved=$m1/$m2 kept=$pass ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      } else {
+        pass += 1
+        val newLabels = passPlan(labelsCk, pass)
+          .transform(graft.core.Materialize.checkpoint)
+        val m = newLabels.where(col("changed")).count()
+        recordPass(m, pass % 2)
+        graft.core.Materialize.free(labelsCk)
+        labelsCk = newLabels
+        labels = newLabels.select("id", "label")
+        if (verbose) System.err.println(
+          f"[plm] pass $pass moved=$m ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
     }
     nbrs.unpersist(blocking = false)
     labels

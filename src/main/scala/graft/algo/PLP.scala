@@ -41,6 +41,13 @@ import graft.iterate.{IterConfig, IterationDriver}
   */
 object PLP {
 
+  /** Sweep-unroll factor for the fused red-black loop; env-overridable for
+    * A/B and plain-loop-fallback debugging (`SPARK_GRAFT_PLP_UNROLL=1`),
+    * mirroring PageRank's SPARK_GRAFT_PR_UNROLL knob.
+    */
+  val defaultUnroll: Int =
+    IterationDriver.envUnroll("SPARK_GRAFT_PLP_UNROLL", 4)
+
   final case class Config(
       updateThreshold: Long = -1, // -1 → max(1, n/1e5) like the reference
       maxIter: Int = 100,
@@ -153,7 +160,7 @@ object PLP {
       step, updatedAgg,
       IterConfig(tol = threshold, maxIter = cfg.maxIter,
         checkpointDir = cfg.checkpointDir),
-      unroll = 4)
+      unroll = PLP.defaultUnroll)
 
     sym.unpersist(); nodes.unpersist()
     Result(res.state.select("id", "label"), res.iterations, res.history)

@@ -36,7 +36,7 @@ object PageRank {
     * at bench scale via the SPARK_GRAFT_PR_UNROLL A/B.
     */
   val defaultUnroll: Int =
-    sys.env.get("SPARK_GRAFT_PR_UNROLL").map(_.toInt).getOrElse(4)
+    IterationDriver.envUnroll("SPARK_GRAFT_PR_UNROLL", 4)
 
   final case class Config(
       damping: Double = 0.85,

@@ -52,6 +52,23 @@ final case class IterResult(state: DataFrame, iterations: Int,
   */
 object IterationDriver {
 
+  /** Parse an iteration-unroll override from the environment. Malformed or
+    * < 1 values fall back to `default` with a stderr warning — a bare
+    * `.toInt` here would throw inside a lazy object initializer and poison
+    * the whole algorithm object for the JVM's lifetime with an opaque
+    * `ExceptionInInitializerError`.
+    */
+  def envUnroll(name: String, default: Int): Int =
+    sys.env.get(name) match {
+      case None => default
+      case Some(v) =>
+        scala.util.Try(v.trim.toInt).toOption.filter(_ >= 1).getOrElse {
+          System.err.println(
+            s"[graft] ignoring $name='$v' (need an int >= 1); using $default")
+          default
+        }
+    }
+
   private def manifestPath(dir: String) = Paths.get(dir, "manifest.jsonl")
 
   def readManifest(dir: String): Vector[IterRecord] = {
@@ -165,8 +182,13 @@ object IterationDriver {
 
   /** Unrolled variant of `run`: composes up to `unroll` steps into ONE
     * Spark job per loop pass, for operators whose convergence metric is a
-    * 1-row aggregate over the NEW state alone (`metricAgg(next)` → a single
-    * double column; PageRank embeds `prev` in the state for exactly this).
+    * 1-row GLOBAL aggregate over the NEW state alone — `metricAgg(next)`
+    * must return exactly ONE column and exactly ONE row (an ungrouped
+    * aggregate; PageRank embeds `prev` in the state for exactly this).
+    * Both halves of the contract are asserted at runtime: a multi-column
+    * aggregate fails the per-hop column check, a grouped (multi-row) one
+    * fails the collected-row-count check — neither can silently become a
+    * wrong convergence decision.
     *
     * Why: at sandbox bench scale the per-iteration wall is roughly half
     * fixed driver overhead — one job round-trip to materialize the state
@@ -190,7 +212,9 @@ object IterationDriver {
     * resume manifests are interchangeable between the two loops; with
     * `checkpointEvery = 1` (the production preset) the group size degrades
     * to 1 ≡ `run`. Per-hop manifest records carry the group wall divided
-    * evenly across its hops — the amortized per-iteration figure.
+    * evenly across its hops (the amortized per-iteration figure), with the
+    * division remainder assigned to the group's last hop so the summed
+    * wallMs equals the true group wall.
     */
   def runFused(spark: SparkSession, init: => DataFrame,
           step: (DataFrame, Int) => DataFrame,
@@ -242,8 +266,14 @@ object IterationDriver {
       // now-cached hop states.
       val mrows = hops.zipWithIndex.map { case (h, j) =>
         val agg = metricAgg(h)
+        require(agg.columns.length == 1,
+          s"runFused metricAgg must return exactly one column (the metric); " +
+            s"got ${agg.columns.mkString("[", ",", "]")}")
         agg.select(lit(j).as("_hop"), col(agg.columns.head).cast("double").as("_m"))
       }.reduce(_ unionByName _).collect()
+      require(mrows.length == k,
+        s"runFused metricAgg must be a 1-row (ungrouped) aggregate; " +
+          s"$k hops produced ${mrows.length} metric rows")
       val ms: Array[Double] = {
         // a null aggregate (empty state) reads as 0.0 = converged, matching
         // the plain loop's count/sum-over-empty behavior
@@ -274,7 +304,11 @@ object IterationDriver {
       freeCheckpointed(state)
       val groupWall = (System.nanoTime() - t0) / 1000000
       for (j <- 0 until used) {
-        val rec = IterRecord(iter + j + 1, ms(j), groupWall / used, -1L,
+        // per-hop walls are the amortized group wall; the integer-division
+        // remainder rides the LAST hop so summed wallMs equals the group wall
+        val hopWall = groupWall / used +
+          (if (j == used - 1) groupWall % used else 0L)
+        val rec = IterRecord(iter + j + 1, ms(j), hopWall, -1L,
           if (j == used - 1) snapshot else "")
         history :+= rec
         cfg.checkpointDir.foreach(appendManifest(_, rec))

@@ -135,6 +135,64 @@ class PageGenSpec extends SparkTestBase {
   }
 }
 
+/** Cross-implementation replay oracle for the two rows-only driver queries
+  * (`ingest_pages`, `ingest_edges`): DuckDB cannot rerun the page generator
+  * or the extractor, so the repo carries its own exact check — a sequential
+  * plain-JVM (scala-collections, zero Spark) replay of the ingest-pipeline
+  * semantics, asserted row-identical against the distributed path at the
+  * exact parameters the driver queries use (n=500, seed=42).
+  */
+class IngestReplayOracleSpec extends SparkTestBase {
+
+  private val n = 500L
+  private val seed = 42L
+
+  test("ingest_edges replay: sequential JVM pipeline reproduces " +
+      "LinkGraph.build nodes+edges row-identically") {
+    // ---- sequential replay of LinkGraph.build's pinned semantics ----
+    val pages = (0L until n).map(i => PageGen.page(seed, i, n))
+    val linkPairs = pages.flatMap(p =>
+      TextExtract.extractHrefs(p.html).map(h =>
+        (TextExtract.normalizeUrl(p.url), TextExtract.normalizeUrl(h))))
+    val pageUrls: Map[String, Long] = pages
+      .groupBy(p => TextExtract.normalizeUrl(p.url))
+      .map { case (u, ps) => u -> ps.map(_.warc_ts.getTime).min }
+    val dangling = linkPairs.map(_._2).distinct
+      .filterNot(pageUrls.contains).sorted
+    // pinned ordering rule: pages by (warc_ts, url), then dangling by url
+    val ordered = pageUrls.toSeq.sortBy { case (u, ts) => (ts, u) }
+      .map(_._1) ++ dangling
+    val id: Map[String, Long] =
+      ordered.zipWithIndex.map { case (u, i) => u -> i.toLong }.toMap
+    val wantNodes = id.map { case (u, i) => (i, u, pageUrls.contains(u)) }.toSet
+    val wantEdges = linkPairs.groupBy(p => (id(p._1), id(p._2)))
+      .map { case ((s, d), occ) => (s, d, occ.size.toDouble) }.toSet
+
+    // ---- distributed path (exactly what `ingest_edges` runs) ----
+    val s = spark
+    import s.implicits._
+    val (nodesD, edgesD) =
+      LinkGraph.build(spark, PageGen.pages(spark, n, seed).toDF())
+    val gotNodes = nodesD.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    val gotEdges = edgesD.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotNodes == wantNodes)
+    assert(gotEdges == wantEdges)
+  }
+
+  test("ingest_pages replay: sequential page construction reproduces the " +
+      "driver query's rows") {
+    val want = (0L until n).map(i => PageGen.page(seed, i, n))
+      .map(p => (p.url, p.lang, p.text.length))
+      .sortBy(_._1).toIndexedSeq
+    val got = graft.SparkEntry.queries("ingest_pages")(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toIndexedSeq
+    assert(got == want)
+  }
+}
+
 class DenseIdSpec extends SparkTestBase {
 
   test("dense 0..n-1 ids in sort order, stable across partitionings") {
