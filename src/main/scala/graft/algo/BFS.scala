@@ -111,7 +111,8 @@ object SSSP {
     * Converges in ≤ diameter iterations on non-negative weights.
     */
   def weighted(spark: SparkSession, edges: DataFrame, source: Long,
-               directed: Boolean = false, maxIter: Int = 1000): DataFrame = {
+               directed: Boolean = false, maxIter: Int = 1000,
+               unroll: Int = SSSP.defaultUnroll): DataFrame = {
     val adj0 = if (directed) edges else GraphOps.symmetrize(edges)
     val adj = adj0.repartition(col("src")).sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -142,7 +143,7 @@ object SSSP {
       next.agg(sum(when(col("changed"), 1L).otherwise(0L)).as("m"))
 
     val res = IterationDriver.runFused(spark, init, step, changedAgg,
-      IterConfig(tol = 0.0, maxIter = maxIter), unroll = SSSP.defaultUnroll)
+      IterConfig(tol = 0.0, maxIter = maxIter), unroll = unroll)
     adj.unpersist()
     res.state.where(!col("dist").isNaN && col("dist") =!= Double.PositiveInfinity)
       .select("id", "dist")

@@ -252,6 +252,10 @@ object Centrality {
     var state = symBySrc.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("c")).withColumn("changed", lit(true))
       .transform(graft.core.Materialize.checkpoint)
+    // node-scale degree snapshot (init c = degree): the tail-compaction
+    // pre-estimate below reads it instead of scanning the edge caches
+    val degrees = state.select(col("id"), col("c").as("deg"))
+      .transform(graft.core.Materialize.checkpoint)
     var changed = state.count()
     // node-sized sides hinted shuffle-hash when the per-partition build
     // slice is cache-friendly (GraphOps.hashBuildHint): a sort-merge join
@@ -335,6 +339,9 @@ object Centrality {
     var region: Option[DataFrame] = None
     var cSrc: DataFrame = null
     var cDst: DataFrame = null
+    // directed edge-cache rows, for the compactness cap; evaluated only if
+    // an attempt survives the node-count caps (one cached scan, once)
+    lazy val mEdges = symBySrc.count()
     def freeCompact(): Unit = region.foreach { r =>
       graft.core.Materialize.free(r)
       graft.core.Materialize.free(cSrc)
@@ -359,29 +366,52 @@ object Centrality {
       freeCompact()
       // floor 64: on small graphs n/16 would reject even a trivial region
       val cap = math.max(nNodes / 16, 64L)
+      // NODE-SCALE estimates gate every edge-cache scan: Σ deg(ball) is an
+      // upper bound on the next expansion level (|ball_{r+1}| ≤ |ball_r| +
+      // Σ deg(ball_r)) and EXACTLY the compact cache's directed edge count
+      // (edges with src ∈ ball). On power-law web graphs even a 5-node
+      // changed set sits next to mega-hubs (measured at bench scale: ball₂
+      // of 5 nodes = 69k nodes / 3.3M edges = 17% of the graph), and
+      // discovering that with real ball expansions costs full edge-cache
+      // scans per attempt — the first A/B showed those wasted attempts
+      // erasing the compaction win. With the estimates, a doomed attempt
+      // costs only cheap degree-table aggregates and at most the
+      // expansions that were genuinely within budget.
       var ball = graft.core.Materialize.checkpoint(
         st.where(col("changed")).select("id"))
       var r = 0
       var ballN = changedNow
       var bailed = false
+      var degSum = 0L
       while (r < radius && !bailed) {
-        val next = graft.core.Materialize.checkpoint(
-          ball.unionByName(
-              symBySrc.join(ball.select(col("id").as("src")).hint("broadcast"),
-                  Seq("src"), "left_semi")
-                .select(col("dst").as("id")))
-            .distinct())
-        ballN = next.count()
-        graft.core.Materialize.free(ball)
-        ball = next
-        bailed = ballN > cap // hub blow-up: compaction not worth it here
-        r += 1
+        degSum = ball.join(degrees, "id").agg(sum("deg")).head().getLong(0)
+        if (ballN + degSum > cap) {
+          bailed = true // next level can only exceed the cap
+        } else {
+          val next = graft.core.Materialize.checkpoint(
+            ball.unionByName(
+                symBySrc.join(ball.select(col("id").as("src")).hint("broadcast"),
+                    Seq("src"), "left_semi")
+                  .select(col("dst").as("id")))
+              .distinct())
+          ballN = next.count()
+          graft.core.Materialize.free(ball)
+          ball = next
+          r += 1
+        }
+      }
+      if (!bailed) {
+        degSum = ball.join(degrees, "id").agg(sum("deg")).head().getLong(0)
+        // exact compact-cache size; above m/16 it is not compact — sweeps
+        // would still scan a sizeable graph fraction plus rebuild churn
+        bailed = degSum > math.max(mEdges / 16, 256L)
       }
       if (bailed) {
         graft.core.Materialize.free(ball)
         retryBelow = changedNow / 4
         if (verbose) System.err.println(
-          s"[kcore] compaction bailed: ball_$r=$ballN > $cap; retry at $retryBelow")
+          s"[kcore] compaction bailed at ball_$r=$ballN (next/edges est " +
+            s"$degSum, cap $cap); retry at $retryBelow")
         return
       }
       cSrc = graft.core.Materialize.checkpoint(
@@ -389,12 +419,13 @@ object Centrality {
           .join(ball.select(col("id").as("src")).hint("broadcast"),
             Seq("src"), "left_semi")
           .repartition(col("src")))
+      val ce = cSrc.count()
       cDst = graft.core.Materialize.checkpoint(
         symByDst
           .join(ball.select(col("id").as("dst")).hint("broadcast"),
             Seq("dst"), "left_semi")
           .repartition(col("dst")))
-      val ce = cSrc.count()
+      cDst.count()
       region = Some(ball)
       if (verbose) System.err.println(
         s"[kcore] compacted: region=$ballN nodes (radius $radius), " +
@@ -522,6 +553,7 @@ object Centrality {
         f"[kcore] sweep $sweep (x$hops) changed=$changed ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
     freeCompact()
+    graft.core.Materialize.free(degrees)
     symBySrc.unpersist(blocking = false)
     symByDst.unpersist(blocking = false)
     state.select(col("id"), col("c").as("coreness"))

@@ -203,10 +203,16 @@ object PLM {
     def shouldContinue: Boolean =
       (moved > 0 || !cfg.stopEarly) && !plateau && pass < cfg.maxMovePasses
 
-    // system property first so the interleaved A/B runner can toggle
-    // within one JVM; env for driver-side runs
-    val fuse = !sys.props.get("graft.plm.fuse")
-      .orElse(sys.env.get("SPARK_GRAFT_PLM_FUSE")).contains("0")
+    // Default OFF: the round-5 interleaved A/B (BASELINE.md) measured the
+    // fused pair SLOWER in 2 of 3 windows (pairwise +11/+14/−24 s at 2M
+    // nodes) — PLM's passes are data-dominated under AQE and the lazy
+    // intermediate state is read by three branches of the pair job, whose
+    // concurrently-materializing stages can each compute its partitions
+    // before the cache fills (redundant work the plain loop's eager
+    // checkpoint never does). System property first so the A/B runner can
+    // toggle within one JVM; env for driver-side runs.
+    val fuse = sys.props.get("graft.plm.fuse")
+      .orElse(sys.env.get("SPARK_GRAFT_PLM_FUSE")).contains("1")
     while (shouldContinue) {
       val t0 = System.nanoTime()
       if (fuse && pass + 2 <= cfg.maxMovePasses) {

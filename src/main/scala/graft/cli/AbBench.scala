@@ -10,9 +10,12 @@ import graft.ingest.PageGen
   * interleave — rep 1 of A, rep 1 of B, rep 2 of A, ... — and the
   * comparison reads the rep SPREADS, not single numbers).
   *
-  * Usage: `graft.cli.AbBench <mode: kcore|plm> [reps=3] [nodes=2000000]`
+  * Usage: `graft.cli.AbBench <mode: kcore|plm|sssp> [reps=3] [nodes=2000000]`
   *   kcore — tail region-compaction ON (auto n/100 trigger) vs OFF
   *   plm   — red+black pass-pair fusing ON vs OFF (graft.plm.fuse sysprop)
+  *   sssp  — weighted-SSSP relax unroll 4 vs 1 on an n/5000-node weighted
+  *           path (high-diameter worst case: one relax round per hop, so
+  *           the measured delta IS the per-round driver overhead)
   */
 object AbBench {
   def main(args: Array[String]): Unit = {
@@ -54,6 +57,21 @@ object AbBench {
             val t0 = System.nanoTime()
             graft.algo.PLM.run(spark, edges).labels
               .agg(countDistinct("label")).head()
+            (System.nanoTime() - t0) / 1e9
+          case "sssp" =>
+            import spark.implicits._
+            val len = math.max(n / 5000, 200L).toInt
+            val u = if (v == "on") 4 else 1
+            val path = (0 until len).map(i => (i.toLong, i + 1L, 1.0 + i % 3))
+              .toDF("src", "dst", "weight")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            path.count()
+            graft.algo.SSSP.weighted(spark, path.limit(50), 0L,
+              directed = true, unroll = u).count() // JIT warmup
+            freeState()
+            val t0 = System.nanoTime()
+            graft.algo.SSSP.weighted(spark, path, 0L, directed = true,
+              unroll = u).agg(max("dist")).head()
             (System.nanoTime() - t0) / 1e9
           case other => sys.error(s"unknown mode $other")
         }
